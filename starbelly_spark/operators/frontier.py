@@ -1,0 +1,116 @@
+"""Frontier priority-queue pop — the engine's core operator (SURVEY.md W1).
+
+Reference semantics (``/root/reference/starbelly/db.py:103-140``,
+verified by ``/root/reference/integration/test_db.py:176-220``): pop
+the k cheapest not-in-flight URLs of a job in **ascending cost**,
+skipping in-flight rows, and mark the popped rows claimed.  The
+reference's tie-break is engine-dependent (RethinkDB index order); we
+pin the deterministic tie-break ``(cost, url_hash_hex)`` (SURVEY.md
+§1.3) so the pop is a pure function of table state, never of task
+scheduling — this is what makes crawl order reproducible across
+parallelism levels (local[8] vs local[32] must pop identically).
+
+Politeness composes in (``rate_limiter.py:79-318`` semantics): only
+hosts whose ``next_allowed_ts`` has passed are eligible, and at most
+``per_host_k`` URLs per host per batch.  Both constraints are window
+ranks — no collect, no driver loop:
+
+    rank 1: row_number() OVER (PARTITION BY job_id, host
+                               ORDER BY cost, url_hash_hex) <= per_host_k
+    rank 2: row_number() OVER (PARTITION BY job_id
+                               ORDER BY cost, url_hash_hex) <= budget
+
+Scale notes (10^10 frontier): the per-host window shuffles by
+(job_id, host) — salted upstream at insert time so one hot host can't
+own a partition (SURVEY.md S5); the global budget window is the only
+single-partition-per-job stage, and it runs on the tiny survivor set
+(≤ per_host_k × #eligible hosts), never on the raw frontier.  AQE
+skew-join handles residual imbalance.  A pre-filter
+``cost <= approx_kth_cost`` could bound the window input further; at
+sandbox scale the explicit two-rank plan is already
+shuffle-minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TIE_BREAK = "url_hash_hex"
+
+
+def tie_break_col(df: DataFrame) -> Column:
+    """Deterministic tie-break column (hex blake2b-16 of canonical URL)."""
+    if TIE_BREAK in df.columns:
+        return F.col(TIE_BREAK)
+    return F.lower(F.hex(F.col("url_hash")))
+
+
+def pop_batch(
+    frontier: DataFrame,
+    budget: int,
+    per_host_k: int = 1,
+    eligible_hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Pop the next micro-batch off the frontier.
+
+    Parameters
+    ----------
+    frontier : columns (job_id, url, host, cost, in_flight, url_hash[,
+        url_hash_hex]).  Rows already claimed are excluded via
+        ``in_flight`` (reference's claim flag, db.py:124).
+    budget : global max URLs per job per batch (reference pops 10,
+        frontier.py:95; also the rate-limiter capacity notion).
+    per_host_k : max URLs per host per batch (politeness: the
+        reference's token queues release one request per domain at a
+        time, rate_limiter.py:271-278).
+    eligible_hosts : optional (host) DataFrame of hosts whose
+        politeness delay has expired; broadcast-joined (tiny).
+    """
+    df = frontier.where(~F.col("in_flight"))
+    if eligible_hosts is not None:
+        df = df.join(F.broadcast(eligible_hosts.select("host")), "host", "semi")
+    tb = tie_break_col(df).alias("_tb")
+    df = df.withColumn("_tb", tb)
+
+    host_w = Window.partitionBy("job_id", "host").orderBy("cost", "_tb")
+    df = df.withColumn("_host_rn", F.row_number().over(host_w)).where(
+        F.col("_host_rn") <= per_host_k
+    )
+
+    job_w = Window.partitionBy("job_id").orderBy("cost", "_tb")
+    df = df.withColumn("_rn", F.row_number().over(job_w)).where(
+        F.col("_rn") <= budget
+    )
+    return df.drop("_tb", "_host_rn", "_rn")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Generic deterministic top-k per group (the W1 plan fragment,
+    reusable over any table)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .where(F.col(rank_alias) <= k)
+    )
+
+
+def frontier_size(frontier: DataFrame, job_id: str) -> int:
+    """SURVEY.md S2 — count of frontier rows for one job."""
+    return frontier.where(F.col("job_id") == job_id).count()
+
+
+def any_in_flight(frontier: DataFrame, job_id: str) -> bool:
+    """SURVEY.md S3 — existence probe, partition-pruned + limit 1."""
+    return (
+        frontier.where((F.col("job_id") == job_id) & F.col("in_flight"))
+        .limit(1)
+        .count()
+        > 0
+    )

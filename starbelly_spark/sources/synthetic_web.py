@@ -1,0 +1,190 @@
+"""Deterministic synthetic web — the fetch source (SURVEY.md S8).
+
+The reference downloads over live HTTP
+(``/root/reference/starbelly/downloader.py:250-350``); in this sandbox
+the "network" is a pure function of the URL and a seed, so every fetch
+is reproducible on any executor with no shared state and no I/O.  The
+fetch itself runs as a vectorized Arrow UDF (``mapInPandas``) over the
+popped frontier batch — no per-row Python in the Spark path.
+
+Web shape (all derived from ``zlib.crc32`` of the URL + seed):
+
+* hosts ``h{i}.example`` for ``i < n_hosts``; page count per host is
+  skewed — host 0 holds ``skew_share`` of all pages (exercises the
+  salted-repartition path at scale).
+* page ``/p{j}`` links to its B tree-children on the same host, plus
+  one cross-host link, plus a duplicate and (sometimes) a malformed /
+  non-http link to exercise dedup + skip paths
+  (semantics from ``/root/reference/tests/test_extractor.py:247-377``).
+* every ``IMG_EVERY``-th page is an image resource (``image/png`` etc.)
+  whose body is an encoded image from the corpus codec and which
+  carries a caption — the graft payload.
+* deterministic latency and sporadic 404/500 responses for the error
+  counters (``/root/reference/starbelly/db.py:429-464`` semantics).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..functions.images import _pixels_for_id, encode_image, phash64
+
+IMG_EVERY = 7          # every 7th page is an image resource
+ERR_EVERY = 50         # sporadic HTTP errors
+_URL_RE = re.compile(r"^http://(h\d+)\.example/p(\d+)$")
+_FMTS = ("png", "jpeg", "webp")
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_hosts: int = 10
+    total_pages: int = 1000
+    branching: int = 3
+    skew_share: float = 0.3     # host 0's share of all pages
+    seed: int = 42
+    pages_per_host: tuple[int, ...] = field(init=False)
+
+    def __post_init__(self):
+        rest = self.n_hosts - 1
+        p0 = max(1, int(self.total_pages * self.skew_share))
+        per = max(1, (self.total_pages - p0) // max(rest, 1))
+        pages = (p0,) + (per,) * rest
+        object.__setattr__(self, "pages_per_host", pages[: self.n_hosts])
+
+    def seeds(self, k: int | None = None) -> list[str]:
+        k = k if k is not None else min(3, self.n_hosts)
+        return [f"http://h{i}.example/p0" for i in range(k)]
+
+
+def parse_url(url: str) -> tuple[int, int] | None:
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    return int(m.group(1)[1:]), int(m.group(2))
+
+
+def _h(cfg: WebConfig, *parts) -> int:
+    return zlib.crc32(("|".join(map(str, parts)) + f"|{cfg.seed}").encode())
+
+
+def page_exists(cfg: WebConfig, host: int, page: int) -> bool:
+    return 0 <= host < cfg.n_hosts and 0 <= page < cfg.pages_per_host[host]
+
+
+def is_image_page(cfg: WebConfig, host: int, page: int) -> bool:
+    return page % IMG_EVERY == 3
+
+
+def image_meta(cfg: WebConfig, host: int, page: int):
+    """(image_id, w, h, fmt, caption) for an image page."""
+    image_id = f"img_{host}_{page}"
+    hv = _h(cfg, "img", host, page)
+    w = 16 + (hv % 17)           # 16..32
+    h = 16 + ((hv >> 8) % 17)
+    fmt = _FMTS[hv % 3]
+    caption = f"synthetic {fmt} image {image_id} ({w}x{h}) seed={cfg.seed}"
+    return image_id, w, h, fmt, caption
+
+
+def out_links(cfg: WebConfig, host: int, page: int) -> list[str]:
+    """Links 'on the page' — includes dupes / malformed / off-scheme."""
+    if is_image_page(cfg, host, page):
+        return []
+    links: list[str] = []
+    base = cfg.branching * page
+    for m in range(1, cfg.branching + 1):
+        child = base + m
+        if page_exists(cfg, host, child):
+            links.append(f"http://h{host}.example/p{child}")
+    # one cross-host link
+    other = (host + page + 1) % cfg.n_hosts
+    if other != host:
+        links.append(f"http://h{other}.example/p0")
+    hv = _h(cfg, "extras", host, page)
+    if links:
+        links.append(links[0])                     # duplicate → dedup path
+    if hv % 5 == 0:
+        links.append("not a url ::")               # malformed → skipped
+    if hv % 7 == 0:
+        links.append("ftp://h0.example/file")      # off-scheme → skipped
+    return links
+
+
+def fetch_one(cfg: WebConfig, url: str) -> dict:
+    """Deterministic fetch of one URL (pure kernel; also used by the
+    driver-side equivalence simulator)."""
+    hp = parse_url(url)
+    if hp is None or not page_exists(cfg, *hp):
+        return {
+            "url": url, "status_code": 404, "content_type": None,
+            "body": None, "links": [], "latency_ms": 20,
+            "image_id": None, "caption": None, "phash": None,
+            "w": None, "h": None, "fmt": None,
+        }
+    host, page = hp
+    hv = _h(cfg, "resp", host, page)
+    status = 200
+    if hv % ERR_EVERY == 17:
+        status = 404
+    elif hv % ERR_EVERY == 29:
+        status = 500
+    latency = 50 + (hv % 200)
+    if is_image_page(cfg, host, page):
+        image_id, w, h, fmt, caption = image_meta(cfg, host, page)
+        body = (
+            encode_image(_pixels_for_id(image_id, w, h), fmt)
+            if status == 200 else None
+        )
+        ph = phash64(_pixels_for_id(image_id, w, h)) if status == 200 else None
+        return {
+            "url": url, "status_code": status,
+            "content_type": f"image/{fmt}" if status == 200 else None,
+            "body": body, "links": [], "latency_ms": latency,
+            "image_id": image_id, "caption": caption, "phash": ph,
+            "w": w, "h": h, "fmt": fmt,
+        }
+    links = out_links(cfg, host, page) if status == 200 else []
+    body = f"<html>page {host}/{page}</html>".encode()
+    return {
+        "url": url, "status_code": status,
+        "content_type": "text/html" if status == 200 else None,
+        "body": body if status == 200 else None,
+        "links": links, "latency_ms": latency,
+        "image_id": None, "caption": None, "phash": None,
+        "w": None, "h": None, "fmt": None,
+    }
+
+
+FETCH_SCHEMA = (
+    "url string, status_code int, content_type string, body binary, "
+    "links array<string>, latency_ms int, image_id string, caption string, "
+    "phash long, w int, h int, fmt string"
+)
+
+
+def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = ()):
+    """mapInPandas kernel: frontier batch in → response rows out.
+
+    ``passthrough`` columns (e.g. job_id/cost/url_hash) are copied onto
+    the output so downstream stages don't need a re-join.
+    """
+    def _batches(it):
+        for pdf in it:
+            rows = [fetch_one(cfg, u) for u in pdf["url"]]
+            out = pd.DataFrame(rows)
+            out["status_code"] = out["status_code"].astype("int32")
+            out["latency_ms"] = out["latency_ms"].astype("int32")
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
+
+    return _batches
+
+
+def fetch_schema_with(passthrough_ddl: str = "") -> str:
+    return FETCH_SCHEMA + (", " + passthrough_ddl if passthrough_ddl else "")

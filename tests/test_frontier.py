@@ -1,0 +1,113 @@
+"""Frontier pop semantics — mirrors the reference's integration
+expectations (/root/reference/integration/test_db.py:176-220, via
+SURVEY.md §5.2): ascending cost, in-flight rows skipped, claimed batch
+excluded from the next pop, deterministic tie-break."""
+
+from pyspark.sql import functions as F
+
+from starbelly_spark.functions.urls import url_hash
+from starbelly_spark.operators.frontier import (
+    any_in_flight,
+    frontier_size,
+    pop_batch,
+    topk_per_group,
+)
+
+
+def _frontier(spark, rows):
+    data = [
+        (
+            "job1",
+            url,
+            url.split("/")[2],
+            float(cost),
+            bool(in_flight),
+            url_hash(url),
+            url_hash(url).hex(),
+        )
+        for url, cost, in_flight in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "job_id string, url string, host string, cost double, "
+        "in_flight boolean, url_hash binary, url_hash_hex string",
+    )
+
+
+def test_pop_ascending_cost_skips_in_flight(spark):
+    fr = _frontier(
+        spark,
+        [
+            ("http://a.test/1", 1.0, False),
+            ("http://b.test/2", 2.0, False),
+            ("http://c.test/25", 2.5, True),   # in flight → never popped
+            ("http://d.test/3", 3.0, False),
+        ],
+    )
+    batch1 = pop_batch(fr, budget=2, per_host_k=1)
+    got1 = [r.cost for r in batch1.orderBy("cost").collect()]
+    assert got1 == [1.0, 2.0]
+
+    popped_urls = [r.url for r in batch1.collect()]
+    fr2 = fr.where(~F.col("url").isin(popped_urls))
+    batch2 = pop_batch(fr2, budget=2, per_host_k=1)
+    got2 = [(r.url, r.cost) for r in batch2.collect()]
+    assert got2 == [("http://d.test/3", 3.0)]
+
+
+def test_per_host_cap(spark):
+    fr = _frontier(
+        spark,
+        [
+            ("http://a.test/1", 1.0, False),
+            ("http://a.test/2", 1.5, False),
+            ("http://a.test/3", 2.0, False),
+            ("http://b.test/1", 5.0, False),
+        ],
+    )
+    batch = pop_batch(fr, budget=10, per_host_k=1)
+    got = sorted((r.host, r.cost) for r in batch.collect())
+    assert got == [("a.test", 1.0), ("b.test", 5.0)]
+
+
+def test_eligible_hosts_politeness_gate(spark):
+    fr = _frontier(
+        spark,
+        [
+            ("http://a.test/1", 1.0, False),
+            ("http://b.test/1", 2.0, False),
+        ],
+    )
+    eligible = spark.createDataFrame([("b.test",)], "host string")
+    batch = pop_batch(fr, budget=10, per_host_k=1, eligible_hosts=eligible)
+    assert [r.host for r in batch.collect()] == ["b.test"]
+
+
+def test_tie_break_deterministic_across_shuffles(spark):
+    rows = [(f"http://h{i}.test/x", 1.0, False) for i in range(20)]
+    fr = _frontier(spark, rows)
+    a = [r.url for r in pop_batch(fr.repartition(8), 5).orderBy("url_hash_hex").collect()]
+    b = [r.url for r in pop_batch(fr.repartition(2), 5).orderBy("url_hash_hex").collect()]
+    assert a == b and len(a) == 5
+    # ties broken by url_hash_hex ascending
+    hashes = sorted(url_hash(u).hex() for u, _, _ in rows)[:5]
+    assert sorted(url_hash(u).hex() for u in a) == hashes
+
+
+def test_size_and_in_flight_probes(spark):
+    fr = _frontier(
+        spark,
+        [("http://a.test/1", 1.0, False), ("http://b.test/2", 2.0, True)],
+    )
+    assert frontier_size(fr, "job1") == 2
+    assert any_in_flight(fr, "job1") is True
+    assert any_in_flight(fr, "nope") is False
+
+
+def test_topk_per_group_generic(spark):
+    df = spark.createDataFrame(
+        [("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)], "g string, v int"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v")], k=2)
+    got = sorted((r.g, r.v, r.rn) for r in out.collect())
+    assert got == [("g1", 1, 1), ("g1", 2, 2), ("g2", 9, 1)]
