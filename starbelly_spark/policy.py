@@ -1,0 +1,222 @@
+"""Crawl policy engine as Spark column expressions (SURVEY.md §2.2/2.7).
+
+Semantics matched from the reference (no code reuse):
+
+* URL cost rules — first-match regex chain; ``match`` ∈ {MATCHES,
+  DOES_NOT_MATCH}; ``action`` ADD (parent+amount) or MULTIPLY
+  (parent×amount); terminal rule has no pattern.  Depth tracking is
+  ADD 1.  (``/root/reference/starbelly/policy.py:748-771``, pinned by
+  ``tests/test_policy.py:573-616``.)
+* ``{SEED_DOMAINS}`` placeholder in patterns expands to an alternation
+  of the job's seed domains at plan time
+  (``starbelly/policy.py:705-721``).
+* Cost gate — a link is pruned when ``new_cost <= 0`` or
+  ``new_cost > max_cost`` (``starbelly/extractor.py:91-93``,
+  ``starbelly/policy.py:276-283``).
+* MIME save rules — first-match regex chain over content-type with a
+  terminal default (``starbelly/policy.py:371-391``, pinned by
+  ``tests/test_policy.py:314-351``).
+* URL normalization config — enabled flag + strip-parameter list fed
+  into the canonicalize UDF (``starbelly/policy.py:627-642``).
+* robots usage OBEY / INVERT / IGNORE (``starbelly/policy.py:571-584``).
+
+Everything compiles to ``when``/``otherwise`` chains of JVM-side
+expressions — whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MATCHES = "MATCHES"
+DOES_NOT_MATCH = "DOES_NOT_MATCH"
+ADD = "ADD"
+MULTIPLY = "MULTIPLY"
+OBEY = "OBEY"
+INVERT = "INVERT"
+IGNORE = "IGNORE"
+
+SEED_DOMAINS_TOKEN = "{SEED_DOMAINS}"
+
+
+@dataclass(frozen=True)
+class UrlRule:
+    action: str                      # ADD | MULTIPLY
+    amount: float
+    pattern: str | None = None       # None → terminal (always applies)
+    match: str = MATCHES
+
+
+@dataclass(frozen=True)
+class MimeRule:
+    save: bool
+    pattern: str | None = None       # None → terminal
+    match: str = MATCHES
+
+
+@dataclass(frozen=True)
+class Limits:
+    max_cost: float | None = None
+    max_items: int | None = None
+    max_duration: float | None = None
+
+
+@dataclass(frozen=True)
+class RobotsPolicy:
+    usage: str = OBEY                # OBEY | INVERT | IGNORE
+    obey_crawl_delay: bool = True
+
+
+@dataclass(frozen=True)
+class Normalization:
+    enabled: bool = True
+    strip_parameters: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Policy:
+    url_rules: tuple[UrlRule, ...] = (UrlRule(ADD, 1.0),)
+    mime_rules: tuple[MimeRule, ...] = (MimeRule(True),)
+    limits: Limits = field(default_factory=Limits)
+    robots: RobotsPolicy = field(default_factory=RobotsPolicy)
+    normalization: Normalization = field(default_factory=Normalization)
+    user_agent: str = "starbelly-spark/0.1"
+
+    @staticmethod
+    def from_doc(doc: dict) -> "Policy":
+        """Build from the reference's policy-document layout
+        (FIXTURES.md §8)."""
+        url_rules = tuple(
+            UrlRule(
+                action=r["action"],
+                amount=float(r["amount"]),
+                pattern=r.get("pattern"),
+                match=r.get("match", MATCHES),
+            )
+            for r in doc.get("url_rules", [{"action": ADD, "amount": 1.0}])
+        )
+        mime_rules = tuple(
+            MimeRule(
+                save=bool(r["save"]),
+                pattern=r.get("pattern"),
+                match=r.get("match", MATCHES),
+            )
+            for r in doc.get("mime_type_rules", [{"save": True}])
+        )
+        lim = doc.get("limits", {})
+        rob = doc.get("robots_txt", {})
+        norm = doc.get("url_normalization", {})
+        return Policy(
+            url_rules=url_rules,
+            mime_rules=mime_rules,
+            limits=Limits(
+                max_cost=lim.get("max_cost"),
+                max_items=lim.get("max_items"),
+                max_duration=lim.get("max_duration"),
+            ),
+            robots=RobotsPolicy(
+                usage=rob.get("usage", OBEY),
+                obey_crawl_delay=rob.get("obey_crawl_delay", True),
+            ),
+            normalization=Normalization(
+                enabled=norm.get("enabled", True),
+                strip_parameters=tuple(norm.get("strip_parameters", ())),
+            ),
+            user_agent=(doc.get("user_agents") or [{"name": "starbelly-spark/0.1"}])[0]["name"],
+        )
+
+
+def expand_seed_domains(pattern: str, seed_domains: list[str]) -> str:
+    """Replace {SEED_DOMAINS} with an escaped alternation of domains."""
+    if SEED_DOMAINS_TOKEN not in pattern:
+        return pattern
+    alt = "|".join(re.escape(d) for d in sorted(set(seed_domains)))
+    return pattern.replace(SEED_DOMAINS_TOKEN, f"({alt})")
+
+
+def _apply(action: str, amount: float, parent_cost: Column) -> Column:
+    if action == ADD:
+        return parent_cost + F.lit(amount)
+    if action == MULTIPLY:
+        return parent_cost * F.lit(amount)
+    raise ValueError(f"unknown action {action!r}")
+
+
+def cost_expr(
+    policy: Policy, url_col: Column, parent_cost_col: Column,
+    seed_domains: list[str] | None = None,
+) -> Column:
+    """First-match URL-rule chain → new cost column expression."""
+    seed_domains = seed_domains or []
+    expr = None
+    # Build the chain back-to-front so first rule wins.
+    for rule in reversed(policy.url_rules):
+        applied = _apply(rule.action, rule.amount, parent_cost_col)
+        if rule.pattern is None:
+            expr = applied  # terminal
+            continue
+        pat = expand_seed_domains(rule.pattern, seed_domains)
+        cond = url_col.rlike(pat)
+        if rule.match == DOES_NOT_MATCH:
+            cond = ~cond
+        expr = F.when(cond, applied).otherwise(
+            expr if expr is not None else parent_cost_col
+        )
+    assert expr is not None
+    return expr
+
+
+def cost_gate_expr(policy: Policy, cost_col: Column) -> Column:
+    """P7: keep a link only when 0 < cost ≤ max_cost."""
+    keep = cost_col > F.lit(0.0)
+    if policy.limits.max_cost is not None:
+        keep = keep & (cost_col <= F.lit(float(policy.limits.max_cost)))
+    return keep
+
+
+def mime_save_expr(policy: Policy, content_type_col: Column) -> Column:
+    """P9: first-match MIME rule chain → boolean save column."""
+    base = content_type_col.isNotNull()  # parse failure → not saved
+    expr = None
+    for rule in reversed(policy.mime_rules):
+        saved = F.lit(bool(rule.save))
+        if rule.pattern is None:
+            expr = saved
+            continue
+        cond = content_type_col.rlike(rule.pattern)
+        if rule.match == DOES_NOT_MATCH:
+            cond = ~cond
+        expr = F.when(cond, saved).otherwise(
+            expr if expr is not None else F.lit(False)
+        )
+    assert expr is not None
+    return base & expr
+
+
+def scheme_filter_expr(url_col: Column) -> Column:
+    """P10: keep only http/https links (extractor.py:232-233)."""
+    return url_col.rlike("^https?://")
+
+
+# Canonical policy fixtures mirroring the reference's container
+# fixtures (tools/container_init.py:118-180 — "Broad Crawl": max_cost 3,
+# depth +1; "Deep Crawl": max_cost 10, stay-in-domain via MULTIPLY 0).
+BROAD_CRAWL = Policy(
+    url_rules=(UrlRule(ADD, 1.0),),
+    limits=Limits(max_cost=3.0),
+)
+
+def make_deep_crawl(max_cost: float = 10.0) -> Policy:
+    """Stay-in-seed-domain policy: in-domain links cost +1, everything
+    else ×0 (pruned by the cost gate)."""
+    return Policy(
+        url_rules=(
+            UrlRule(ADD, 1.0, pattern=f"^https?://{SEED_DOMAINS_TOKEN}"),
+            UrlRule(MULTIPLY, 0.0),
+        ),
+        limits=Limits(max_cost=max_cost),
+    )
