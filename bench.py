@@ -1,0 +1,123 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "pops_per_sec": ...}}
+
+* headline operator queries from __spark_entry__ at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+* a crawl-throughput section: a synthetic-web crawl (the engine's real
+  workload) measured in URLs fetched/sec + frontier pops/sec, matching
+  BASELINE.json's metric definition.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py → BENCH/BASELINE.md (subprocess per level; a
+JVM can't change master mid-process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "w1_priority_pop",
+    "j1_ordered_left_join",
+    "j2_latest_per_group",
+    "a1_grouped_count",
+    "p4_range_predicate",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "dedup_exact",
+    "text_token_count",
+    "text_lang_id",
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+]
+
+
+def _run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def crawl_bench(spark, n_hosts=128, total_pages=300000, budget=20000,
+                per_host_k=512, ramp_batches=3, measure_batches=3,
+                n_seeds=None, global_delay=0.0) -> dict:
+    """Crawl throughput: ramp the frontier for `ramp_batches`, then
+    measure sustained urls/sec + pops/sec over `measure_batches`.
+    The synthetic web is generated lazily per URL — pages exist
+    implicitly, nothing is materialized up front."""
+    from starbelly_spark.crawl import CrawlSettings, run_batch, start_job
+    from starbelly_spark.policy import Limits, Policy, UrlRule
+    from starbelly_spark.sources.synthetic_web import WebConfig
+
+    web = WebConfig(n_hosts=n_hosts, total_pages=total_pages, branching=8,
+                    seed=42)
+    policy = Policy(url_rules=(UrlRule("ADD", 1.0),),
+                    limits=Limits(max_cost=8.0))
+    settings = CrawlSettings(budget=budget, per_host_k=per_host_k,
+                             global_delay=global_delay, compact_every=6,
+                             seen_partitions=16)
+    root = tempfile.mkdtemp(prefix="crawlbench_")
+    store = start_job(spark, root, "bench", web.seeds(n_seeds or n_hosts),
+                      policy, web, settings)
+    m = store.latest_manifest()
+    for _ in range(ramp_batches):
+        m = run_batch(store, m)
+    fetched0 = m["counters"]["item_count"]
+    seq0 = m["sequence"]
+    t0 = time.perf_counter()
+    for _ in range(measure_batches):
+        m = run_batch(store, m)
+    wall = time.perf_counter() - t0
+    fetched = m["counters"]["item_count"] - fetched0
+    popped = m["sequence"] - seq0
+    return {
+        "urls_fetched": fetched,
+        "frontier_pops": popped,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(fetched / wall, 2) if wall else 0.0,
+        "pops_per_sec": round(popped / wall, 2) if wall else 0.0,
+        "batches": int(m["batch_id"]),
+        "total_fetched": m["counters"]["item_count"],
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from starbelly_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        per_query[name] = round(_run_query(spark, qs[name], sf_dir), 3)
+
+    crawl = crawl_bench(spark)
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "operator suite total + crawl throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

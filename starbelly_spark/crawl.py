@@ -1,0 +1,581 @@
+"""The crawl engine: micro-batch loop over snapshot-committed tables.
+
+Re-expresses the reference's five-stage pipeline
+(frontier → rate-limiter → downloader → storage → extractor,
+``/root/reference/starbelly/job.py:342-381``) as ONE declarative
+DataFrame program per micro-batch (SURVEY.md §7.0):
+
+1. **POP** — window-ranked priority pop under the politeness budget
+   (operators/frontier.pop_batch = W1).
+2. **FETCH/DECODE** — vectorized ``mapInPandas`` over the popped batch
+   (sources/synthetic_web; deterministic, no network).
+3. **EXTRACT/DEDUP** — explode links, canonicalize+hash (pandas UDFs),
+   cost rules + gate, robots broadcast-join, within-batch first-parent
+   dedup, bloom/cuckoo prefilter + exact anti-join (seen.split_new_urls).
+4. **COMMIT** — append results/metrics/lineage/seen, frontier
+   add+tombstone, politeness + filter segments snapshots, ONE manifest
+   (tableio.JobStore) — crash anywhere → next run resumes from the
+   last committed batch, exactly.
+
+Time is a deterministic simulated clock: every fetch in a batch starts
+at the batch clock and completes at ``clock + latency``; the next
+batch's clock is the slowest completion (all fetches concurrent,
+micro-batch barrier).  With the deterministic pop tie-break this makes
+the full crawl order a pure function of (seeds, policy, politeness
+budget) — identical at local[8] and local[32], and checkable against
+the pure-Python reference simulator (simulator.py).
+
+Run states mirror the reference (``starbelly/job.py:28-42``):
+pending → running → {paused, completed, cancelled}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.urls import (
+    host_udf,
+    make_canonicalize_udf,
+    url_hash_hex_udf,
+    url_hash_udf,
+)
+from .operators.frontier import pop_batch
+from .policy import (
+    Policy,
+    cost_expr,
+    cost_gate_expr,
+    mime_save_expr,
+    scheme_filter_expr,
+)
+from .politeness import (
+    POLITENESS_SCHEMA,
+    eligible_hosts,
+    update_politeness,
+)
+from .robots import apply_robots, crawl_delays, synthetic_robots_rules
+from .seen import SeenParams, add_to_segments, partition_col, split_new_urls
+from .sources.synthetic_web import (
+    WebConfig,
+    fetch_schema_with,
+    make_fetch_batches,
+)
+from .tableio import (
+    FRONTIER_SCHEMA,
+    SEEN_EXACT_SCHEMA,
+    JobStore,
+    new_manifest,
+)
+
+RESULTS_SCHEMA = (
+    "sequence long, job_id string, url string, cost double, "
+    "status_code int, content_type string, headers array<string>, "
+    "is_success boolean, is_saved boolean, started_at double, "
+    "completed_at double, duration double, body_id binary, body binary, "
+    "image_id string, caption string, phash long, w int, h int, fmt string"
+)
+METRICS_SCHEMA = (
+    "job_id string, batch_id long, urls_popped long, urls_fetched long, "
+    "links_discovered long, links_new long, images_saved long, "
+    "bytes_fetched long, clock_start double, clock_end double"
+)
+LINEAGE_SCHEMA = (
+    "job_id string, batch_id long, partition_id int, links_routed long, "
+    "links_new long"
+)
+SEGMENT_SCHEMA = "partition_id int, kind string, segment binary"
+
+
+@dataclass(frozen=True)
+class CrawlSettings:
+    budget: int = 10            # reference pops batches of 10 (frontier.py:95)
+    per_host_k: int = 1         # one request per host at a time (rate limiter)
+    global_delay: float = 5.0   # default politeness (container_init fixture)
+    compact_every: int = 8      # frontier log compaction cadence
+    seen_partitions: int = 8
+    bloom_bits: int = 1 << 16
+    cuckoo_buckets: int = 1 << 11
+
+    def seen_params(self) -> SeenParams:
+        return SeenParams(
+            n_partitions=self.seen_partitions,
+            bloom_bits=self.bloom_bits,
+            cuckoo_buckets=self.cuckoo_buckets,
+        )
+
+
+def _policy_to_doc(policy: Policy) -> dict:
+    return {
+        "limits": {
+            "max_cost": policy.limits.max_cost,
+            "max_items": policy.limits.max_items,
+            "max_duration": policy.limits.max_duration,
+        },
+        "url_rules": [
+            {"pattern": r.pattern, "match": r.match,
+             "action": r.action, "amount": r.amount}
+            for r in policy.url_rules
+        ],
+        "mime_type_rules": [
+            {"pattern": r.pattern, "match": r.match, "save": r.save}
+            for r in policy.mime_rules
+        ],
+        "url_normalization": {
+            "enabled": policy.normalization.enabled,
+            "strip_parameters": list(policy.normalization.strip_parameters),
+        },
+        "robots_txt": {
+            "usage": policy.robots.usage,
+            "obey_crawl_delay": policy.robots.obey_crawl_delay,
+        },
+        "user_agents": [{"name": policy.user_agent}],
+    }
+
+
+def _doc_to_policy(doc: dict) -> Policy:
+    # from_doc tolerates None patterns / amounts already
+    clean = json.loads(json.dumps(doc))
+    for r in clean.get("url_rules", []):
+        if r.get("pattern") is None:
+            r.pop("pattern", None)
+    for r in clean.get("mime_type_rules", []):
+        if r.get("pattern") is None:
+            r.pop("pattern", None)
+    lim = clean.get("limits", {})
+    clean["limits"] = {k: v for k, v in lim.items() if v is not None}
+    return Policy.from_doc(clean)
+
+
+def start_job(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    seeds: list[str],
+    policy: Policy,
+    web: WebConfig,
+    settings: CrawlSettings = CrawlSettings(),
+    rate_limits: list[tuple[str, float]] | None = None,
+) -> JobStore:
+    """Create the job: seeds → frontier at cost 0, seen-set seeded with
+    seed hashes (reference job.py:332-340, db.py:217-233)."""
+    store = JobStore(spark, root, job_id)
+    params = settings.seen_params()
+    canon = make_canonicalize_udf(policy.normalization.strip_parameters
+                                  if policy.normalization.enabled else ())
+    seeds_df = (
+        spark.createDataFrame([(u,) for u in seeds], "url string")
+        .withColumn("url", canon("url"))
+        .withColumn("host", host_udf("url"))
+        .withColumn("cost", F.lit(0.0))
+        .withColumn("in_flight", F.lit(False))
+        .withColumn("url_hash", url_hash_udf("url"))
+        .withColumn("url_hash_hex", url_hash_hex_udf("url"))
+        .withColumn("job_id", F.lit(job_id))
+        .select(*[c.strip().split(" ")[0] for c in FRONTIER_SCHEMA.split(",")])
+    )
+    m = new_manifest(job_id, 0)
+    m["policy"] = _policy_to_doc(policy)
+    m["web"] = asdict(web)
+    m["web"].pop("pages_per_host", None)
+    m["settings"] = asdict(settings)
+    m["rate_limits"] = rate_limits or []
+    m["seed_domains"] = sorted({r.host for r in seeds_df.select("host").collect()})
+    t = m["tables"]
+    t["frontier_base"] = [store.write_dir("frontier_base", 0, seeds_df)]
+    # the seeds are also the initial seen set (job.py:332-340) — same
+    # rows, so reference the same dir (column pruning reads url_hash)
+    t["seen_exact"] = list(t["frontier_base"])
+    from .seen import empty_segments
+
+    segs = add_to_segments(seeds_df.select("url_hash"),
+                           empty_segments(spark), params, job_id)
+    t["seen_segments"] = [store.write_dir("seen_segments", 0, segs)]
+    store.commit(m)
+    return store
+
+
+def _load_context(store: JobStore, m: dict):
+    policy = _doc_to_policy(m["policy"])
+    web = WebConfig(**m["web"])
+    settings = CrawlSettings(**m["settings"])
+    return policy, web, settings
+
+
+def run_batch(store: JobStore, m: dict) -> dict:
+    """Run ONE micro-batch; returns the committed manifest."""
+    profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t0 = time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if profile:
+            now = time.perf_counter()
+            print(f"  [profile] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
+    spark = store.spark
+    job_id = store.job_id
+    policy, web, settings = _load_context(store, m)
+    params = settings.seen_params()
+    batch_id = m["batch_id"] + 1
+    clock = float(m["clock"])
+
+    frontier = store.frontier(m).cache()
+    nm = new_manifest(job_id, batch_id, m)
+
+    politeness = store.table(m, "politeness", POLITENESS_SCHEMA)
+    hosts = frontier.select("host").distinct()
+    # Effective clock: if no pending host is eligible right now, jump
+    # to the earliest next_allowed_ts in the same batch (the
+    # reference's empty-poll backoff, frontier.py:104-114, folded into
+    # W5 earliest-expiry selection — no wasted empty micro-batches).
+    # min(coalesce(next_allowed, clock)): a host with no politeness
+    # entry is eligible immediately, so the min can never exceed the
+    # earliest truly-eligible instant.
+    m_row = (
+        hosts.join(F.broadcast(politeness), "host", "left")
+        .agg(
+            F.min(
+                F.coalesce(F.col("next_allowed_ts"), F.lit(clock))
+            ).alias("t")
+        )
+        .collect()[0]
+    )
+    if m_row["t"] is None:
+        # FrontierExhaustionError semantics (frontier.py:110-114):
+        # empty + nothing in flight → COMPLETED
+        nm["run_state"] = "completed"
+        store.commit(nm)
+        frontier.unpersist()
+        return nm
+    clock = max(clock, float(m_row["t"]))
+    _mark("clock-agg")
+
+    eligible = eligible_hosts(hosts, politeness, clock)
+    popped = pop_batch(
+        frontier, settings.budget, settings.per_host_k, eligible
+    ).cache()
+
+    # ---- FETCH (vectorized Arrow UDF) ------------------------------------
+    fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",
+                                                 "url_hash_hex"))
+    fetched = popped.select("url", "cost", "url_hash", "url_hash_hex").mapInPandas(
+        fetch,
+        schema=fetch_schema_with(
+            "cost double, url_hash binary, url_hash_hex string"
+        ),
+    ).cache()
+
+    # ---- RESULTS (sequence assignment = reference's monotonic counter) ---
+    seq0 = int(m["sequence"])
+    seq_w = Window.partitionBy(F.lit(1)).orderBy("cost", "url_hash_hex")
+    results = (
+        fetched.withColumn(
+            "sequence", F.row_number().over(seq_w) + F.lit(seq0 - 1)
+        )
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("started_at", F.lit(clock))
+        .withColumn(
+            "completed_at", F.lit(clock) + F.col("latency_ms") / 1000.0
+        )
+        .withColumn("duration", F.col("latency_ms") / 1000.0)
+        .withColumn(
+            "is_success",
+            F.col("status_code").isNotNull()
+            & (F.floor(F.col("status_code") / 100) == 2),
+        )
+        .withColumn("is_saved", mime_save_expr(policy, F.col("content_type")))
+        .withColumn(
+            "headers",
+            F.when(
+                F.col("content_type").isNotNull(),
+                F.array(F.lit("CONTENT-TYPE"), F.col("content_type")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    # body_id = blake2b-16 of the body when saved (storage.py:96)
+    from .functions.urls import blake2b_16_udf
+
+    results = results.withColumn(
+        "body_id",
+        F.when(
+            F.col("is_saved") & F.col("body").isNotNull(),
+            blake2b_16_udf(F.col("body")),
+        ).otherwise(F.lit(None).cast("binary")),
+    ).withColumn(
+        "body",
+        F.when(F.col("is_saved"), F.col("body")).otherwise(
+            F.lit(None).cast("binary")
+        ),
+    )
+    results_out = results.select(
+        "sequence", "job_id", "url", "cost", "status_code", "content_type",
+        "headers", "is_success", "is_saved", "started_at", "completed_at",
+        "duration", "body_id", "body", "image_id", "caption", "phash",
+        "w", "h", "fmt",
+    ).cache()
+
+    # ---- EXTRACT / DEDUP ---------------------------------------------------
+    canon = make_canonicalize_udf(
+        policy.normalization.strip_parameters
+        if policy.normalization.enabled else ()
+    )
+    seed_domains = m.get("seed_domains", [])
+    raw_links = (
+        results.select(
+            F.col("sequence").alias("parent_seq"),
+            F.col("cost").alias("parent_cost"),
+            F.posexplode_outer("links").alias("pos", "raw_url"),
+        )
+        .where(F.col("raw_url").isNotNull())
+        .where(scheme_filter_expr(F.col("raw_url")))
+        .withColumn("url", canon("raw_url"))
+        .withColumn("host", host_udf("url"))
+        .where(F.col("host") != "")
+    )
+
+    priced = raw_links.withColumn(
+        "cost",
+        cost_expr(policy, F.col("url"), F.col("parent_cost"), seed_domains),
+    ).where(cost_gate_expr(policy, F.col("cost")))
+
+    robots_rules = synthetic_robots_rules(spark, web.n_hosts, web.seed)
+    allowed = apply_robots(priced, robots_rules, policy)
+
+    # within-batch first-parent-wins dedup (reference: the first item
+    # processed inserts the URL and registers it as seen; later items
+    # skip it — extractor.py:105-116 with sequential processing)
+    dedup_w = Window.partitionBy("url").orderBy("parent_seq", "pos")
+    candidates = (
+        allowed.withColumn("_rn", F.row_number().over(dedup_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "raw_url", "parent_seq", "parent_cost", "pos")
+        .withColumn("url_hash", url_hash_udf("url"))
+        .withColumn("url_hash_hex", url_hash_hex_udf("url"))
+    )
+
+    segments = store.table(m, "seen_segments", SEGMENT_SCHEMA)
+    seen_exact = store.table(m, "seen_exact", SEEN_EXACT_SCHEMA)
+    new_urls = split_new_urls(
+        candidates, segments, seen_exact, params, job_id
+    ).cache()
+
+    new_frontier = new_urls.select(
+        F.lit(job_id).alias("job_id"), "url", "host", "cost",
+        F.lit(False).alias("in_flight"), "url_hash", "url_hash_hex",
+    )
+
+    # ---- POLITENESS UPDATE -------------------------------------------------
+    completions = results.select(
+        host_udf("url").alias("host"), F.col("completed_at").alias("completion_ts")
+    )
+    rl = m.get("rate_limits") or []
+    rate_limits_df = (
+        spark.createDataFrame(rl, "host string, delay double") if rl else None
+    )
+    cds = crawl_delays(robots_rules) if policy.robots.obey_crawl_delay else None
+    new_politeness = update_politeness(
+        store.table(m, "politeness", POLITENESS_SCHEMA),
+        completions, rate_limits_df, cds,
+        global_delay=settings.global_delay,
+        obey_crawl_delay=policy.robots.obey_crawl_delay,
+    )
+
+    # ---- METRICS / LINEAGE (two collect actions total per batch) ----------
+    # one combined agg gives counters + status map + links_discovered +
+    # clock_end; it also materializes the fetched/results caches
+    per_status = results.groupBy("status_code").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_success"), 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("image_id").isNotNull() & F.col("is_saved"), 1)
+              .otherwise(0)).alias("images"),
+        F.sum(
+            F.when(F.col("is_saved"),
+                   F.coalesce(F.length(F.col("body")), F.lit(0))).otherwise(0)
+        ).alias("bytes"),
+        F.max("completed_at").alias("max_completed"),
+        F.sum(F.size(F.coalesce(F.col("links"),
+                                F.array().cast("array<string>")))).alias("links"),
+    ).collect()
+    _mark("stats-agg (pop+fetch+results)")
+    assert per_status, "non-empty frontier must pop at clock_eff"
+    clock_end = max(float(r["max_completed"]) for r in per_status)
+    n_popped = sum(r["n"] for r in per_status)
+    n_links_discovered = sum(r["links"] for r in per_status)
+    stats = {
+        "fetched": n_popped,
+        "ok": sum(r["ok"] for r in per_status),
+        "err": sum(r["n"] - r["ok"] for r in per_status),
+        "images": sum(r["images"] for r in per_status),
+        "bytes": sum(r["bytes"] for r in per_status),
+    }
+    status_counts = {
+        str(r["status_code"]): r["n"] for r in per_status
+        if r["status_code"] is not None
+    }
+    # per-partition lineage (north rule): collected once (tiny — one
+    # row per seen partition), reused for n_new and the lineage table
+    lineage_rows = (
+        new_urls.withColumn(
+            "partition_id", partition_col(F.col("url_hash"), params.n_partitions)
+        )
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("links_new"))
+        .collect()
+    )
+    _mark("lineage-agg (links+dedup+probe)")
+    n_new = sum(r["links_new"] for r in lineage_rows)
+    metrics = spark.createDataFrame(
+        [(
+            job_id, batch_id, n_popped, int(stats["fetched"]),
+            n_links_discovered, n_new, int(stats["images"]),
+            int(stats["bytes"]), clock, clock_end,
+        )],
+        METRICS_SCHEMA,
+    )
+    lineage = spark.createDataFrame(
+        [
+            (job_id, batch_id, int(r["partition_id"]),
+             int(r["links_new"]), int(r["links_new"]))
+            for r in lineage_rows
+        ],
+        LINEAGE_SCHEMA,
+    )
+
+    # ---- COMMIT --------------------------------------------------------------
+    # All 8 state writes are independent Spark jobs over cached inputs →
+    # submit them concurrently from driver threads (the standard
+    # multi-job pattern; on a cluster the scheduler interleaves tasks).
+    # salted repartition on frontier append: spread one hot host's
+    # links across partitions (north rule / SURVEY.md S5)
+    n_part = max(2, params.n_partitions)
+    salted = new_frontier.repartition(
+        n_part, F.xxhash64("host", "url_hash_hex")
+    )
+    new_segments = add_to_segments(
+        new_urls.select("url_hash"), segments, params, job_id
+    )
+    # seen_exact needs no write of its own: the new frontier rows ARE
+    # the newly-seen URLs, so the manifest just references the
+    # frontier_add dir a second time (parquet column pruning reads only
+    # url_hash there).  Compaction clears the frontier_add list but the
+    # seen_exact references keep the dirs alive.
+    writes = {
+        "results": ("results", results_out, 2),
+        "frontier_add": ("frontier_add", salted, None),
+        "frontier_del": ("frontier_del", popped.select("url_hash"), 1),
+        "seen_segments": ("seen_segments", new_segments, None),
+        "politeness": ("politeness", new_politeness, 1),
+        "metrics": ("metrics", metrics, 1),
+        "lineage": ("lineage", lineage, 1),
+    }
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futures = {
+            key: pool.submit(store.write_dir, table, batch_id, df, co)
+            for key, (table, df, co) in writes.items()
+        }
+        rels = {key: f.result() for key, f in futures.items()}
+    _mark("8 state writes")
+
+    t = nm["tables"]
+    for key in ("results", "frontier_add", "frontier_del",
+                "metrics", "lineage"):
+        t.setdefault(key, []).append(rels[key])
+    t.setdefault("seen_exact", []).append(rels["frontier_add"])
+    t["seen_segments"] = [rels["seen_segments"]]
+    t["politeness"] = [rels["politeness"]]
+
+    # frontier log compaction (merge-on-read → rewrite base)
+    if batch_id % settings.compact_every == 0:
+        compacted = store.frontier(nm)
+        t["frontier_base"] = [
+            store.write_dir("frontier_base", batch_id, compacted)
+        ]
+        t["frontier_add"] = []
+        t["frontier_del"] = []
+        _mark("compaction")
+
+    c = nm["counters"]
+    c["item_count"] += int(stats["fetched"])
+    c["http_success_count"] += int(stats["ok"])
+    c["http_error_count"] += int(stats["err"])
+    for k, v in status_counts.items():
+        c["http_status_counts"][k] = c["http_status_counts"].get(k, 0) + v
+    nm["sequence"] = seq0 + n_popped
+    nm["clock"] = clock_end
+    store.commit(nm)
+
+    for df in (frontier, popped, fetched, results_out, new_urls):
+        df.unpersist()
+    return nm
+
+
+def run_crawl(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    max_batches: int | None = None,
+) -> dict:
+    """Drive the micro-batch loop until exhaustion / pause / cancel /
+    max_batches.  Always resumes from the last committed manifest."""
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    assert m is not None, f"job {job_id} not started"
+    batches = 0
+    while m["run_state"] == "running":
+        if max_batches is not None and batches >= max_batches:
+            break
+        m = run_batch(store, m)
+        batches += 1
+    return m
+
+
+# ---- lifecycle API mirroring the reference's set_job commands -------------
+
+def pause_job(spark: SparkSession, root: str, job_id: str) -> dict:
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    nm = new_manifest(job_id, m["batch_id"] + 1, m)
+    nm["run_state"] = "paused"
+    store.commit(nm)
+    return nm
+
+
+def resume_job(spark: SparkSession, root: str, job_id: str) -> dict:
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    nm = new_manifest(job_id, m["batch_id"] + 1, m)
+    nm["run_state"] = "running"
+    store.commit(nm)
+    return nm
+
+
+def cancel_job(spark: SparkSession, root: str, job_id: str) -> dict:
+    """Cancel: clear the frontier (S7, db.py:199-215) + mark cancelled."""
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    nm = new_manifest(job_id, m["batch_id"] + 1, m)
+    nm["run_state"] = "cancelled"
+    nm["tables"]["frontier_base"] = []
+    nm["tables"]["frontier_add"] = []
+    nm["tables"]["frontier_del"] = []
+    store.commit(nm)
+    return nm
+
+
+def job_stats(spark: SparkSession, root: str, job_id: str) -> dict:
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    return {
+        "run_state": m["run_state"],
+        "batch_id": m["batch_id"],
+        "clock": m["clock"],
+        "sequence": m["sequence"],
+        **m["counters"],
+    }

@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines (task brief: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+Everything here has two forms:
+
+* a **Column-expression builder** (JVM-side, codegen'd, oracle-able in
+  ANSI SQL) — the hot path; and
+* where the operator is inherently procedural (winnowing), a
+  vectorized pandas UDF.
+
+These run over the driver-generated ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Stopword sets for the n-gram/stopword language heuristic.  Tiny on
+# purpose: the heuristic must be expressible in plain SQL for the
+# DuckDB oracle, so it's a ratio of stopword hits per language.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "la", "los", "que", "de", "es", "una", "por", "con", "para"),
+}
+
+
+def _stopword_hits(text_col: Column, words: tuple[str, ...]) -> Column:
+    """Count of stopword occurrences (word-bounded, case-insensitive)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    # size(regexp_extract_all) is JVM-side and SQL-expressible
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), 0))
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(text_col, words)
+            for lang, words in STOPWORDS.items()}
+
+
+def lang_id_expr(text_col: Column) -> Column:
+    """Highest-stopword-ratio language; 'und' (undetermined) when no
+    language scores a single hit."""
+    scores = lang_scores(text_col)
+    # greatest-of with deterministic preference order on ties
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # deterministic tie-break: alphabetical
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def token_count_expr(text_col: Column) -> Column:
+    """Whitespace tokenization count (0 for empty/blank text)."""
+    trimmed = F.trim(text_col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_expr(text_col: Column) -> Column:
+    """BPE-ish token estimate: count of word-pieces + digits + punct
+    runs (a GPT-2-style pre-tokenizer regex, simplified)."""
+    return F.size(
+        F.regexp_extract_all(
+            text_col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+        )
+    )
+
+
+def punct_ratio_expr(text_col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", ""))
+    return n_punct / F.greatest(F.length(text_col), F.lit(1))
+
+
+def stopword_ratio_expr(text_col: Column, lang: str = "en") -> Column:
+    hits = _stopword_hits(text_col, STOPWORDS[lang])
+    return hits / F.greatest(token_count_expr(text_col), F.lit(1))
+
+
+def quality_score_expr(text_col: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation +
+    healthy stopword ratio (the classic Gopher/C4-style signals)."""
+    n_tokens = token_count_expr(text_col)
+    len_ok = (
+        F.when(n_tokens < 5, 0.0)
+        .when(n_tokens > 5000, 0.2)
+        .otherwise(1.0)
+    )
+    punct = punct_ratio_expr(text_col)
+    punct_ok = F.when(punct > 0.3, 0.0).otherwise(1.0 - punct)
+    sw = stopword_ratio_expr(text_col)
+    sw_ok = F.when(sw > 0.05, 1.0).otherwise(sw * 20.0)
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+def fingerprint_expr(text_col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (md5 exists in both Spark and DuckDB → oracle-able)."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling hash) — procedural, pandas UDF
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, min
+    per window, deduplicated, as signed int64s."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return []
+    base, mod = 257, (1 << 61) - 1
+    h = 0
+    pw = pow(base, k - 1, mod)
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * base + ord(ch)) % mod
+        if i >= k:
+            h = (h - ord(s[i - k]) * pw * base) % mod
+        if i >= k - 1:
+            hashes.append(h)
+    out = []
+    prev = None
+    for i in range(len(hashes) - window + 1):
+        m = min(hashes[i : i + window])
+        if m != prev:
+            out.append(m - (1 << 62) if m >= (1 << 62) else m)
+            prev = m
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: winnow_fingerprints(t or ""))

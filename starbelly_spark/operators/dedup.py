@@ -1,0 +1,336 @@
+"""Deduplication family for training-data pipelines.
+
+Five dedup strategies, each Spark-first:
+
+* **exact** — hash-groupBy on normalized content (JVM-side md5/xxhash,
+  no UDF); keeps the lowest doc_id per group.  This is also the
+  reference's body-dedup semantics (content-addressed storage,
+  ``/root/reference/starbelly/storage.py:96-108``).
+* **MinHash + LSH** — word-shingles → k minhashes (vectorized numpy
+  over Arrow batches) → banded bucket join → candidate pairs →
+  exact-Jaccard verify.  Never a cross join: candidate generation is a
+  groupBy on (band, band_hash) buckets, which is THE scalable shape at
+  10^10 docs (buckets shuffle-partition evenly; a hot bucket is a
+  data-quality signal, not a plan problem).
+* **SimHash** — 64-bit weighted sign-hash; near-dup = hamming ≤ t,
+  candidates from 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒
+  some chunk equal).
+* **n-gram Jaccard** — exact Jaccard over shingle sets for candidate
+  pairs (the verify stage of MinHash, usable standalone at small n).
+* **embedding cosine** — near-dup by cosine ≥ τ over the embeddings
+  table; brute top-k for small, LSH-bucketed for scale
+  (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def normalized_text_expr(text_col):
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) content."""
+    keyed = df.withColumn("_k", F.md5(normalized_text_expr(F.col(text_col))))
+    w_min = (
+        keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    )
+    return keyed.join(w_min, ["_k", id_col], "semi").drop("_k")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, keep_id) for groups with >1 member."""
+    return (
+        df.withColumn("_k", F.md5(normalized_text_expr(F.col(text_col))))
+        .groupBy(F.col("_k").alias("fingerprint"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str, n: int) -> set:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(k: int = 64, shingle_n: int = 3, seed: int = 42):
+    """pandas UDF: text → array<long> of k minhashes over word shingles."""
+    a, b = _minhash_params(k, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles(t or "", shingle_n)
+            if not sh:
+                out.append([0] * k)
+                continue
+            # stable 64-bit shingle hashes (numpy vectorized)
+            hs = np.fromiter(
+                (np.uint64(hash_shingle(s)) for s in sh),
+                dtype=np.uint64, count=len(sh),
+            )
+            # (a*x + b) mod p, min over shingles, for all k at once
+            vals = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def hash_shingle(s: str) -> int:
+    """Deterministic 61-bit shingle hash (FNV-1a folded)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    band_exprs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_similarity_expr(sig_a, sig_b, k: int):
+    """Estimated Jaccard = fraction of agreeing minhash positions
+    (pure JVM: zip_with + aggregate)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(float(k))
+
+
+def make_jaccard_udf(shingle_n: int = 3):
+    @F.pandas_udf(T.DoubleType())
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = _shingles(x or "", shingle_n), _shingles(y or "", shingle_n)
+            u = len(sa | sb)
+            out[i] = (len(sa & sb) / u) if u else 1.0
+        return pd.Series(out)
+
+    return jaccard
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signature → banded buckets →
+    candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    rows = k // bands
+    mh = make_minhash_udf(k, shingle_n, seed)
+    sigs = docs.select(id_col, text_col).withColumn("minhash", mh(F.col(text_col)))
+    cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows)
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    jac = make_jaccard_udf(shingle_n)
+    return (
+        cands.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def make_simhash_udf(shingle_n: int = 2):
+    """pandas UDF: text → 64-bit simhash (weighted sign hash)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t or "", shingle_n)
+            if not sh:
+                continue
+            hs = np.fromiter(
+                (hash_shingle(s) for s in sh), dtype=np.uint64, count=len(sh)
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for j in range(64):
+                if v[j] > 0:
+                    val |= 1 << j
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return simhash
+
+
+def hamming64_expr(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup: 16-bit chunk buckets (pigeonhole for t ≤ 3),
+    verify hamming ≤ t.  Returns (id_a, id_b, hamming)."""
+    sh = make_simhash_udf(shingle_n)
+    sigs = (
+        docs.select(id_col, text_col)
+        .withColumn("simhash", sh(F.col(text_col)))
+        .drop(text_col)
+    )
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64_expr(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """Cosine similarity of two array<float> columns, pure JVM
+    (zip_with dot product + aggregate norms)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
+
+    Returns (id_a, id_b, cosine ≥ threshold).
+    """
+    from .similarity import make_hyperplane_bucket_udf
+
+    bucket = make_hyperplane_bucket_udf(n_planes, seed)
+    b = emb.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (task brief: ANN).
+
+* ``cosine_topk`` — brute-force exact top-k by cosine: JVM-side
+  zip_with dot product, window-free global top-k via orderBy+limit.
+  The correctness baseline, and the right plan when the query set is
+  small (Catalyst broadcasts the literal query vector).
+* ``hyperplane buckets`` — random-hyperplane LSH (sign sketch): the
+  scale path.  Bucketing is a deterministic pandas UDF (numpy matmul
+  over Arrow batches); probing scans only the query's bucket (and
+  optionally multi-probe neighbors at 1 bit flip).
+* ``ivf_topk`` — IVF-style: k-means-lite centroids (deterministic
+  seeded sample, Lloyd iterations in numpy on the driver over a
+  SAMPLE, never the full table), assign via UDF, probe nearest
+  ``n_probe`` centroid cells.
+
+At 100 TB the bucketed/IVF variants turn an all-pairs scan into a
+partition-pruned scan of a few cells; the bucket id is a natural
+partition column for the embeddings table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import cosine_expr
+
+
+def query_vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cosine) descending."""
+    q = query_vec_lit(query)
+    return (
+        emb.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+
+def make_hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42):
+    """pandas UDF: embedding → int bucket id (sign sketch).
+
+    Planes are derived lazily from the first batch's dimensionality —
+    deterministic given (dim, n_planes, seed).
+    """
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.asarray(vecs.tolist(), dtype=np.float32)
+        planes = _planes(mat.shape[1], n_planes, seed)
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket
+
+
+def hyperplane_bucket_of(vec, n_planes: int = 12, seed: int = 42) -> int:
+    v = np.asarray(vec, dtype=np.float32)
+    planes = _planes(len(v), n_planes, seed)
+    signs = (v @ planes) > 0
+    return int((signs * (1 << np.arange(n_planes))).sum())
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: scan only the query's LSH bucket (+ 1-bit-flip
+    neighbors for recall).  Same output shape as cosine_topk."""
+    qb = hyperplane_bucket_of(query, n_planes, seed)
+    probe = {qb}
+    if multiprobe_bits >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    bucket = make_hyperplane_bucket_udf(n_planes, seed)
+    bucketed = emb.withColumn("bucket", bucket(F.col(vec_col)))
+    cand = bucketed.where(F.col("bucket").isin(*sorted(probe)))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style index
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd iterations on a bounded deterministic sample (driver-side
+    numpy on ≤ sample_rows vectors — never the full table)."""
+    sample = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-9)
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    cents = centroids.astype(np.float32)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.asarray(vecs.tolist(), dtype=np.float32)
+        mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-9)
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest centroid cells, exact re-rank inside."""
+    q = np.asarray(query, dtype=np.float32)
+    q = q / (np.linalg.norm(q) + 1e-9)
+    order = np.argsort(-(centroids @ q))[:n_probe]
+    assign = make_ivf_assign_udf(centroids)
+    cand = emb.withColumn("cell", assign(F.col(vec_col))).where(
+        F.col("cell").isin(*[int(c) for c in order])
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
