@@ -492,6 +492,60 @@ def q_text_winnow(spark, sf_dir):
     )
 
 
+def q_f13_header_flatten(spark, sf_dir):
+    """F13: map → alternating [K1,V1,...] array, keys uppercased
+    (storage.py:90-94); emitted joined as a string for the oracle."""
+    from starbelly_spark.functions.records import header_flatten_expr
+
+    (events,) = _load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("props"), F.col("props")
+    )
+    return events.select(
+        "event_id",
+        F.array_join(header_flatten_expr(m), "|").alias("flat_headers"),
+    )
+
+
+def q_a4_set_union(spark, sf_dir):
+    """A4: set-union aggregate (seen-set reload shape)."""
+    (events,) = _load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_w4_sync_scan(spark, sf_dir):
+    """W4/S12: ordered scan after a sequence cursor (db.py:1074-1109)."""
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_id") > 9000)
+        .orderBy("event_id")
+        .select("event_id", "event_type",
+                F.round("value", 6).alias("value"))
+    )
+
+
+def q_f12_mime_parse(spark, sf_dir):
+    """F12: MIME type/subtype split (extractor.py:147)."""
+    from starbelly_spark.functions.records import (
+        mime_subtype_expr,
+        mime_type_expr,
+    )
+
+    (part,) = _load(spark, sf_dir, "part")
+    ct = F.concat(F.lit("text/"), F.lower(F.col("p_brand")),
+                  F.lit("; charset=utf-8"))
+    return part.select(
+        "p_partkey",
+        mime_type_expr(ct).alias("mime_type"),
+        mime_subtype_expr(ct).alias("mime_subtype"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_priority_pop": q_w1_priority_pop,
@@ -529,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_winnow": q_text_winnow,
+        "f13_header_flatten": q_f13_header_flatten,
+        "a4_set_union": q_a4_set_union,
+        "w4_sync_scan": q_w4_sync_scan,
+        "f12_mime_parse": q_f12_mime_parse,
     }
 
 
@@ -744,6 +802,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.4
+        """,
+        "f13_header_flatten": """
+            SELECT event_id,
+                   'TYPE|' || event_type || '|PROPS|' || props AS flat_headers
+            FROM events
+        """,
+        "a4_set_union": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS event_types,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        """,
+        "w4_sync_scan": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events WHERE event_id > 9000 ORDER BY event_id
+        """,
+        "f12_mime_parse": """
+            SELECT p_partkey, 'text' AS mime_type,
+                   lower(p_brand) AS mime_subtype
+            FROM part
         """,
         # dedup_embedding_cosine_lsh / ann_lsh_topk / dedup_minhash_lsh /
         # dedup_simhash / text_winnow: UDF-based approximate structures —

@@ -67,7 +67,8 @@ def crawl_bench(spark, n_hosts=128, total_pages=300000, budget=20000,
                     limits=Limits(max_cost=8.0))
     settings = CrawlSettings(budget=budget, per_host_k=per_host_k,
                              global_delay=global_delay, compact_every=6,
-                             seen_partitions=16)
+                             seen_partitions=32, bloom_bits=1 << 21,
+                             cuckoo_buckets=1 << 15)
     root = tempfile.mkdtemp(prefix="crawlbench_")
     store = start_job(spark, root, "bench", web.seeds(n_seeds or n_hosts),
                       policy, web, settings)

@@ -1,0 +1,138 @@
+"""Link extraction from fetched content (SURVEY.md F7–F10, P10).
+
+The reference extracts URLs from HTML (BeautifulSoup/lxml over
+``<a href>`` with ``<base>`` honored), Atom/RSS feeds (feedparser) and
+sitemap XML (``/root/reference/starbelly/extractor.py:131-235``,
+``sitemap.py:20-83``), dispatching on content-type and raising on
+unsupported MIME (extractor.py:156-158).  Bodies over 10 MB are
+skipped (extractor.py:16-17).
+
+This container has no bs4/lxml/feedparser, so the parsers are original
+stdlib implementations with the same *behaviors* (pinned by
+tests/test_extract.py, mirroring the reference's test expectations):
+
+* HTML: every ``<a href>``; relative URLs resolved against ``<base
+  href>`` if present else the page URL; only http(s) kept downstream.
+* Atom: ``<link href>`` entries; RSS: ``<link>`` text elements.
+* Sitemap: ``<url><loc>`` and nested ``<sitemap><loc>`` index files,
+  namespace-tolerant.
+* Unsupported content-type → no links (the pipeline's MIME gate).
+
+Pure kernels + one ``mapInPandas`` operator (Arrow batches, no per-row
+Python in the Spark plan).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+from xml.etree import ElementTree
+
+import pandas as pd
+
+MAX_PARSE_BYTES = 10 * 1024 * 1024   # extractor.py:16-17 semantics
+
+_A_HREF_RE = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_BASE_RE = re.compile(
+    r"""<base\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+_RSS_LINK_RE = re.compile(r"<link>\s*([^<\s][^<]*?)\s*</link>", re.IGNORECASE)
+
+
+def _first_group(m: re.Match) -> str:
+    return next(g for g in m.groups() if g is not None)
+
+
+def extract_html_links(base_url: str, body: bytes | str) -> list[str]:
+    """<a href> extraction with <base> handling; relative → absolute."""
+    if isinstance(body, bytes):
+        if len(body) > MAX_PARSE_BYTES:
+            return []
+        text = body.decode("utf-8", errors="replace")
+    else:
+        text = body
+    base_m = _BASE_RE.search(text)
+    base = urljoin(base_url, _first_group(base_m)) if base_m else base_url
+    out = []
+    for m in _A_HREF_RE.finditer(text):
+        href = _first_group(m).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            out.append(urljoin(base, href))
+        except ValueError:
+            continue  # malformed URL skipped (test_extractor semantics)
+    return out
+
+
+def extract_feed_links(body: bytes | str) -> list[str]:
+    """Atom <link href=...> and RSS <link>text</link> entries."""
+    text = body.decode("utf-8", errors="replace") if isinstance(body, bytes) else body
+    links = []
+    try:
+        root = ElementTree.fromstring(text)
+        for el in root.iter():
+            tag = el.tag.rsplit("}", 1)[-1].lower()
+            if tag == "link":
+                href = el.get("href") or (el.text or "").strip()
+                if href:
+                    links.append(href)
+    except ElementTree.ParseError:
+        # fall back to the RSS regex for mildly-malformed feeds
+        links = [m.group(1) for m in _RSS_LINK_RE.finditer(text)]
+    return links
+
+
+def extract_sitemap_links(body: bytes | str) -> list[str]:
+    """<url><loc> page entries + <sitemap><loc> nested index files,
+    namespace-tolerant (sitemap.py:20-83 semantics)."""
+    text = body.decode("utf-8", errors="replace") if isinstance(body, bytes) else body
+    try:
+        root = ElementTree.fromstring(text)
+    except ElementTree.ParseError:
+        return []
+    out = []
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1].lower() == "loc" and el.text:
+            out.append(el.text.strip())
+    return out
+
+
+def parse_mime(content_type: str | None) -> tuple[str, str]:
+    """'text/html; charset=x' → ('text', 'html') (F12)."""
+    if not content_type:
+        return "", ""
+    main = content_type.split(";", 1)[0].strip().lower()
+    typ, _, sub = main.partition("/")
+    return typ, sub
+
+
+def extract_links(url: str, content_type: str | None,
+                  body: bytes | None) -> list[str]:
+    """Dispatch on content-type (extractor.py:131-159)."""
+    if body is None:
+        return []
+    typ, sub = parse_mime(content_type)
+    if (typ, sub) in (("text", "html"), ("application", "xhtml+xml")):
+        return extract_html_links(url, body)
+    if sub in ("atom+xml", "rss+xml") or (typ, sub) == ("application", "xml"):
+        if b"<urlset" in body[:4096] or b"<sitemapindex" in body[:4096]:
+            return extract_sitemap_links(body)
+        return extract_feed_links(body)
+    return []   # unsupported MIME → nothing to extract
+
+
+def extract_links_kernel(it):
+    """mapInPandas kernel: (url, content_type, body, …) batches →
+    (url, link) rows (schema 'url string, link string')."""
+    for pdf in it:
+        urls, links = [], []
+        for u, ct, b in zip(pdf["url"], pdf["content_type"], pdf["body"]):
+            for link in extract_links(u, ct, bytes(b) if b is not None else None):
+                urls.append(u)
+                links.append(link)
+        yield pd.DataFrame({"url": urls, "link": links})

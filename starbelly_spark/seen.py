@@ -133,10 +133,18 @@ class BlockedBloom:
 
 
 class CuckooFilter:
-    """4-way cuckoo filter with 16-bit fingerprints (supports delete)."""
+    """4-way cuckoo filter with 16-bit fingerprints (supports delete).
+
+    When an insert fails (filter at capacity even after eviction
+    kicks) the filter marks itself ``overflowed`` — persisted in the
+    serialized header — and membership answers become unreliable for
+    NEGATIVES (an evicted-away element would read as absent).  Callers
+    that need the no-false-negative guarantee must treat an overflowed
+    cuckoo as "maybe contains anything" (see probe_seen).
+    """
 
     SLOTS = 4
-    MAX_KICKS = 500
+    MAX_KICKS = 64
 
     def __init__(self, n_buckets: int, salt: int, table: np.ndarray | None = None):
         assert n_buckets & (n_buckets - 1) == 0
@@ -147,6 +155,7 @@ class CuckooFilter:
             else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         )
         self._kick_state = salt or 1
+        self.overflowed = False
 
     def _fp_and_buckets(self, hashes: np.ndarray):
         w0, w1 = _words(hashes, self.salt)
@@ -167,17 +176,23 @@ class CuckooFilter:
         return ((self.table[i1] == fpc) | (self.table[i2] == fpc)).any(axis=1)
 
     def add(self, hashes: np.ndarray) -> int:
-        """Insert; returns number of items that failed (filter full)."""
+        """Insert; returns number of items that failed (filter full).
+        A failure marks the filter overflowed; further failed inserts
+        skip the eviction loop (fast-fail) — correctness is preserved
+        by the caller treating an overflowed filter as all-maybe."""
         fails = 0
         if len(hashes) == 0:
             return 0
         fp, i1, i2 = self._fp_and_buckets(hashes)
         for j in range(len(fp)):
-            if not self._insert_one(int(fp[j]), int(i1[j]), int(i2[j])):
+            if not self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]),
+                                    kicks=0 if self.overflowed else self.MAX_KICKS):
                 fails += 1
+                self.overflowed = True
         return fails
 
-    def _insert_one(self, fp: int, i1: int, i2: int) -> bool:
+    def _insert_one(self, fp: int, i1: int, i2: int,
+                    kicks: int | None = None) -> bool:
         for idx in (i1, i2):
             row = self.table[idx]
             empty = np.nonzero(row == 0)[0]
@@ -186,7 +201,7 @@ class CuckooFilter:
                 return True
         # evict deterministically (xorshift on persistent state)
         idx = i1
-        for _ in range(self.MAX_KICKS):
+        for _ in range(self.MAX_KICKS if kicks is None else kicks):
             self._kick_state ^= (self._kick_state << 13) & 0xFFFFFFFF
             self._kick_state ^= self._kick_state >> 17
             self._kick_state ^= (self._kick_state << 5) & 0xFFFFFFFF
@@ -215,22 +230,23 @@ class CuckooFilter:
 
     def to_bytes(self) -> bytes:
         head = _CUCKOO_MAGIC + struct.pack(
-            "<QII", self.n_buckets, self.salt & 0xFFFFFFFF,
-            self._kick_state & 0xFFFFFFFF,
+            "<QIIB", self.n_buckets, self.salt & 0xFFFFFFFF,
+            self._kick_state & 0xFFFFFFFF, 1 if self.overflowed else 0,
         )
         return head + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
         assert data[:4] == _CUCKOO_MAGIC
-        n_buckets, salt, kick = struct.unpack("<QII", data[4:20])
+        n_buckets, salt, kick, over = struct.unpack("<QIIB", data[4:21])
         table = (
-            np.frombuffer(data[20:], dtype=np.uint16)
+            np.frombuffer(data[21:], dtype=np.uint16)
             .reshape(n_buckets, cls.SLOTS)
             .copy()
         )
         f = cls(n_buckets, salt, table)
         f._kick_state = kick or 1
+        f.overflowed = bool(over)
         return f
 
 
@@ -284,7 +300,12 @@ def probe_seen(
         pid = int(key[0])
         bloom, cuckoo = _load_filters(seg_pdf, params, job_id, pid)
         hashes = _as_matrix([bytes(h) for h in cand_pdf["url_hash"]])
-        hit = bloom.contains(hashes) & cuckoo.contains(hashes)
+        # bloom has no false negatives by construction; the cuckoo only
+        # tightens the FP rate while healthy — once overflowed it could
+        # produce false negatives (evicted entries), so it is ignored
+        hit = bloom.contains(hashes)
+        if not cuckoo.overflowed:
+            hit &= cuckoo.contains(hashes)
         out = cand_pdf[cols].copy()
         out["maybe_seen"] = hit
         return out

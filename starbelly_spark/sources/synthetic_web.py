@@ -148,16 +148,76 @@ def fetch_one(cfg: WebConfig, url: str) -> dict:
             "image_id": image_id, "caption": caption, "phash": ph,
             "w": w, "h": h, "fmt": fmt,
         }
-    links = out_links(cfg, host, page) if status == 200 else []
-    body = f"<html>page {host}/{page}</html>".encode()
+    content_type, body = page_payload(cfg, host, page)
+    if status != 200:
+        return {
+            "url": url, "status_code": status, "content_type": None,
+            "body": None, "links": [], "latency_ms": latency,
+            "image_id": None, "caption": None, "phash": None,
+            "w": None, "h": None, "fmt": None,
+        }
+    # the engine extracts links by PARSING the body (F7-F9), exactly as
+    # the reference parses fetched HTML/feeds/sitemaps — not by reading
+    # a side channel.  fetch_one returns the parsed links so the
+    # pure-Python simulator sees the identical link stream.
+    from ..functions.extract import extract_links
+
+    links = extract_links(url, content_type, body)
     return {
         "url": url, "status_code": status,
-        "content_type": "text/html" if status == 200 else None,
-        "body": body if status == 200 else None,
+        "content_type": content_type,
+        "body": body,
         "links": links, "latency_ms": latency,
         "image_id": None, "caption": None, "phash": None,
         "w": None, "h": None, "fmt": None,
     }
+
+
+def page_kind(cfg: WebConfig, host: int, page: int) -> str:
+    """html | atom | sitemap (images handled separately)."""
+    if host % 4 == 1 and page == 1:
+        return "sitemap"
+    if host % 5 == 2 and page == 2:
+        return "atom"
+    return "html"
+
+
+def page_payload(cfg: WebConfig, host: int, page: int) -> tuple[str, bytes]:
+    """Render the page body in its content type; links are embedded in
+    the markup and must be recovered by parsing (F7-F9)."""
+    links = out_links(cfg, host, page)
+    kind = page_kind(cfg, host, page)
+    if kind == "sitemap":
+        locs = "\n".join(f"  <url><loc>{u}</loc></url>" for u in links)
+        xml = (
+            '<?xml version="1.0"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f"{locs}\n</urlset>"
+        )
+        return "application/xml", xml.encode()
+    if kind == "atom":
+        entries = "\n".join(
+            f'  <entry><link href="{u}"/><title>e</title></entry>'
+            for u in links
+        )
+        xml = (
+            '<?xml version="1.0"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+            f"<title>feed {host}/{page}</title>\n{entries}\n</feed>"
+        )
+        return "application/atom+xml", xml.encode()
+    # html: same-host links rendered relative (resolved against <base>),
+    # cross-host links absolute — exercises F7's base handling
+    own = f"http://h{host}.example"
+    hrefs = "\n".join(
+        f'  <a href="{u[len(own):] if u.startswith(own + "/") else u}">x</a>'
+        for u in links
+    )
+    html = (
+        f"<html><head><base href=\"http://h{host}.example/\"></head>\n"
+        f"<body><h1>page {host}/{page}</h1>\n{hrefs}\n</body></html>"
+    )
+    return "text/html", html.encode()
 
 
 FETCH_SCHEMA = (

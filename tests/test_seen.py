@@ -132,3 +132,36 @@ def test_segments_survive_untouched_partitions(spark, params):
         df_of([f"http://a.test/{i}" for i in range(40)]), segs2, params, job
     )
     assert all(r.maybe_seen for r in probed.collect())
+
+
+def test_cuckoo_overflow_no_false_negatives_via_probe(spark):
+    """Overfill a tiny cuckoo: probe must still report every inserted
+    URL as maybe_seen (bloom carries the no-FN guarantee)."""
+    from starbelly_spark.seen import CuckooFilter
+
+    params = SeenParams(n_partitions=1, bloom_bits=1 << 17,
+                        cuckoo_buckets=1 << 4)   # 64-slot cuckoo
+    job = "jobZ"
+    urls = [f"http://o.test/{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [(u, url_hash(u)) for u in urls], "url string, url_hash binary"
+    )
+    segs = add_to_segments(df, empty_segments(spark), params, job)
+    probed = probe_seen(df, segs, params, job)
+    assert all(r.maybe_seen for r in probed.collect())
+    # and the filter is indeed overflowed
+    seg = [r for r in segs.collect() if r.kind == "cuckoo"][0]
+    assert CuckooFilter.from_bytes(bytes(seg.segment)).overflowed
+
+
+def test_cuckoo_overflow_insert_is_fast():
+    import time
+
+    from starbelly_spark.seen import CuckooFilter
+
+    f = CuckooFilter(1 << 4, salt=1)   # 64 slots
+    h = _hashes(20000, "of")
+    t0 = time.perf_counter()
+    f.add(h)
+    assert time.perf_counter() - t0 < 5.0
+    assert f.overflowed
