@@ -50,9 +50,10 @@ def _run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def crawl_bench(spark, n_hosts=128, total_pages=300000, budget=20000,
-                per_host_k=512, ramp_batches=3, measure_batches=3,
-                n_seeds=None, global_delay=0.0) -> dict:
+def crawl_bench(spark, n_hosts=2048, total_pages=20_000_000,
+                budget=300_000, per_host_k=512, ramp_batches=4,
+                measure_batches=2, n_seeds=None, global_delay=0.0,
+                branching=8, skew_share=0.1) -> dict:
     """Crawl throughput: ramp the frontier for `ramp_batches`, then
     measure sustained urls/sec + pops/sec over `measure_batches`.
     The synthetic web is generated lazily per URL — pages exist
@@ -61,8 +62,8 @@ def crawl_bench(spark, n_hosts=128, total_pages=300000, budget=20000,
     from starbelly_spark.policy import Limits, Policy, UrlRule
     from starbelly_spark.sources.synthetic_web import WebConfig
 
-    web = WebConfig(n_hosts=n_hosts, total_pages=total_pages, branching=8,
-                    seed=42)
+    web = WebConfig(n_hosts=n_hosts, total_pages=total_pages,
+                    branching=branching, skew_share=skew_share, seed=42)
     policy = Policy(url_rules=(UrlRule("ADD", 1.0),),
                     limits=Limits(max_cost=8.0))
     settings = CrawlSettings(budget=budget, per_host_k=per_host_k,

@@ -1,0 +1,115 @@
+"""Job read-path API — the Spark form of the reference's control-plane
+reads (SURVEY.md §2.10, §3.2).
+
+The reference exposes these over WebSocket+protobuf; here they are
+plain driver functions over the job store (the brief scopes out the
+wire protocol, ``SURVEY.md §2.10``):
+
+* ``get_job_items`` — ``get_job_items`` / db.py:951-1012: ordered,
+  paginated scan of results filtered by success/error/exception
+  flags, with the body joined in (J1 order-preserving left join +
+  W2 pagination).
+* ``list_jobs`` — reverse-chron job list (W3, db.py:1028-1040),
+  optional tag filter (P6).
+* ``sync_items`` — resumable ordered scan after a sequence token
+  (S12/W4, db.py:1074-1109 + subscription.py:320-342); the returned
+  max sequence is the next sync token.
+* ``job_status`` — the counters snapshot (A5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tableio import JobStore
+
+
+def _results(store: JobStore) -> DataFrame:
+    m = store.latest_manifest()
+    return store.table(m, "results")
+
+
+def get_job_items(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    include_success: bool = True,
+    include_error: bool = True,
+    include_exception: bool = True,
+    offset: int = 0,
+    limit: int = 100,
+    with_body: bool = True,
+) -> DataFrame:
+    """Ordered, paginated item read with flag filtering (db.py:951-1012).
+
+    success = 2xx; error = non-2xx status; exception = no status at all
+    (db.py:963-993 boolean-expression semantics).
+    """
+    store = JobStore(spark, root, job_id)
+    df = _results(store)
+    is_success = F.col("is_success")
+    is_error = (~F.col("is_success")) & F.col("status_code").isNotNull()
+    is_exception = F.col("status_code").isNull()
+    keep = F.lit(False)
+    if include_success:
+        keep = keep | is_success
+    if include_error:
+        keep = keep | is_error
+    if include_exception:
+        keep = keep | is_exception
+    out = df.where(keep).orderBy("sequence")
+    if not with_body:
+        out = out.drop("body")
+    return out.offset(offset).limit(limit)
+
+
+def list_jobs(
+    spark: SparkSession,
+    root: str,
+    job_ids: list[str],
+    offset: int = 0,
+    limit: int = 20,
+) -> list[dict]:
+    """Reverse-chron job list from manifests (W3 semantics)."""
+    rows = []
+    for job_id in job_ids:
+        store = JobStore(spark, root, job_id)
+        m = store.latest_manifest()
+        if m is None:
+            continue
+        rows.append({
+            "job_id": job_id,
+            "run_state": m["run_state"],
+            "batch_id": m["batch_id"],
+            "clock": m["clock"],
+            **m["counters"],
+        })
+    rows.sort(key=lambda r: (-r["clock"], r["job_id"]))
+    return rows[offset:offset + limit]
+
+
+def sync_items(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    sync_token: int = 0,
+    max_items: int = 1000,
+) -> tuple[DataFrame, int]:
+    """Resumable ordered read after a sequence cursor; returns
+    (items, next_token).  next_token == sync_token ⇒ drained."""
+    store = JobStore(spark, root, job_id)
+    df = (
+        _results(store)
+        .where(F.col("sequence") > sync_token)
+        .orderBy("sequence")
+        .limit(max_items)
+    )
+    tail = df.agg(F.max("sequence").alias("s")).collect()[0]["s"]
+    return df, int(tail) if tail is not None else sync_token
+
+
+def job_status(spark: SparkSession, root: str, job_id: str) -> dict:
+    from .crawl import job_stats
+
+    return job_stats(spark, root, job_id)

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .functions.urls import (
     host_udf,
+    make_canon_info_udf,
     make_canonicalize_udf,
     url_hash_hex_udf,
     url_hash_udf,
@@ -260,7 +261,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
     eligible = eligible_hosts(hosts, politeness, clock)
     popped = pop_batch(
         frontier, settings.budget, settings.per_host_k, eligible
-    ).cache()
+    )
+    # the global-budget window left the batch in ONE partition per job;
+    # re-spread it (deterministic hash partitioning) so fetch/decode and
+    # link extraction run on all executors, not one python worker
+    n_spread = max(2, spark.sparkContext.defaultParallelism)
+    popped = popped.repartition(n_spread, "url_hash_hex").cache()
 
     # ---- FETCH (vectorized Arrow UDF) ------------------------------------
     fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",
@@ -273,12 +279,18 @@ def run_batch(store: JobStore, m: dict) -> dict:
     ).cache()
 
     # ---- RESULTS (sequence assignment = reference's monotonic counter) ---
+    # the total order is (cost, url_hash_hex); rank the NARROW key pair
+    # globally (tiny rows) and broadcast-join the sequence back, instead
+    # of sorting full rows (with image bodies) in a single partition
     seq0 = int(m["sequence"])
     seq_w = Window.partitionBy(F.lit(1)).orderBy("cost", "url_hash_hex")
-    results = (
-        fetched.withColumn(
+    seq_map = F.broadcast(
+        fetched.select("cost", "url_hash_hex").withColumn(
             "sequence", F.row_number().over(seq_w) + F.lit(seq0 - 1)
-        )
+        ).select("url_hash_hex", "sequence")
+    )
+    results = (
+        fetched.join(seq_map, "url_hash_hex")
         .withColumn("job_id", F.lit(job_id))
         .withColumn("started_at", F.lit(clock))
         .withColumn(
@@ -322,11 +334,14 @@ def run_batch(store: JobStore, m: dict) -> dict:
     ).cache()
 
     # ---- EXTRACT / DEDUP ---------------------------------------------------
-    canon = make_canonicalize_udf(
+    canon_info = make_canon_info_udf(
         policy.normalization.strip_parameters
         if policy.normalization.enabled else ()
     )
     seed_domains = m.get("seed_domains", [])
+    # one Python pass over the exploded links: canonicalize + host +
+    # blake2b together (millions of rows/batch at scale); the hex
+    # tie-break is JVM-side
     raw_links = (
         results.select(
             F.col("sequence").alias("parent_seq"),
@@ -335,8 +350,13 @@ def run_batch(store: JobStore, m: dict) -> dict:
         )
         .where(F.col("raw_url").isNotNull())
         .where(scheme_filter_expr(F.col("raw_url")))
-        .withColumn("url", canon("raw_url"))
-        .withColumn("host", host_udf("url"))
+        .withColumn("_ci", canon_info("raw_url"))
+        .select(
+            "parent_seq", "parent_cost", "pos",
+            F.col("_ci.url").alias("url"),
+            F.col("_ci.host").alias("host"),
+            F.col("_ci.url_hash").alias("url_hash"),
+        )
         .where(F.col("host") != "")
     )
 
@@ -355,9 +375,8 @@ def run_batch(store: JobStore, m: dict) -> dict:
     candidates = (
         allowed.withColumn("_rn", F.row_number().over(dedup_w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "raw_url", "parent_seq", "parent_cost", "pos")
-        .withColumn("url_hash", url_hash_udf("url"))
-        .withColumn("url_hash_hex", url_hash_hex_udf("url"))
+        .drop("_rn", "parent_seq", "parent_cost", "pos")
+        .withColumn("url_hash_hex", F.lower(F.hex(F.col("url_hash"))))
     )
 
     segments = store.table(m, "seen_segments", SEGMENT_SCHEMA)
@@ -467,7 +486,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # url_hash there).  Compaction clears the frontier_add list but the
     # seen_exact references keep the dirs alive.
     writes = {
-        "results": ("results", results_out, 2),
+        "results": ("results", results_out, None),
         "frontier_add": ("frontier_add", salted, None),
         "frontier_del": ("frontier_del", popped.select("url_hash"), 1),
         "seen_segments": ("seen_segments", new_segments, None),

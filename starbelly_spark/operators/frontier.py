@@ -78,11 +78,18 @@ def pop_batch(
         F.col("_host_rn") <= per_host_k
     )
 
-    job_w = Window.partitionBy("job_id").orderBy("cost", "_tb")
-    df = df.withColumn("_rn", F.row_number().over(job_w)).where(
-        F.col("_rn") <= budget
+    # global budget: top-`budget` by (cost, tie) — identical semantics
+    # to rank() ≤ budget, but executes as TakeOrderedAndProject
+    # (per-partition heaps + merge) instead of sorting the whole
+    # survivor set in a single window partition.  With one job this is
+    # the difference between a serial 1M-row sort and a distributed
+    # top-k.  (Multi-job pops run per job; the reference is also
+    # per-job, db.py:103-140.)
+    return (
+        df.orderBy("cost", "_tb")
+        .limit(budget)
+        .drop("_tb", "_host_rn")
     )
-    return df.drop("_tb", "_host_rn", "_rn")
 
 
 def topk_per_group(
@@ -113,4 +120,20 @@ def any_in_flight(frontier: DataFrame, job_id: str) -> bool:
         .limit(1)
         .count()
         > 0
+    )
+
+
+def with_login_flag(popped: DataFrame, domain_logins: DataFrame) -> DataFrame:
+    """SURVEY.md J5: broadcast-join the popped batch against the
+    domain_login table (host → credentials exist), flagging rows whose
+    host needs a login flow before fetching (reference triggers a login
+    task per new domain with credentials, frontier.py:79-83; the login
+    flow itself is out of sandbox scope — no network)."""
+    logins = domain_logins.select(
+        F.col("host").alias("_lh"), F.lit(True).alias("needs_login")
+    )
+    return (
+        popped.join(F.broadcast(logins), popped["host"] == F.col("_lh"), "left")
+        .drop("_lh")
+        .withColumn("needs_login", F.coalesce(F.col("needs_login"), F.lit(False)))
     )

@@ -20,6 +20,10 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # python-UDF stages are per-row heavy, not per-byte: without this,
+    # AQE coalesces a 1M-row links shuffle (~100MB) down to 2-4
+    # partitions and serializes the pandas-UDF work on them
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

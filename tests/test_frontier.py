@@ -111,3 +111,17 @@ def test_topk_per_group_generic(spark):
     out = topk_per_group(df, ["g"], [F.col("v")], k=2)
     got = sorted((r.g, r.v, r.rn) for r in out.collect())
     assert got == [("g1", 1, 1), ("g1", 2, 2), ("g2", 9, 1)]
+
+
+def test_with_login_flag(spark):
+    from starbelly_spark.operators.frontier import with_login_flag
+
+    fr = _frontier(
+        spark,
+        [("http://a.test/1", 1.0, False), ("http://b.test/2", 2.0, False)],
+    )
+    logins = spark.createDataFrame(
+        [("a.test", "user", "pw")], "host string, user string, password string"
+    )
+    out = {r.host: r.needs_login for r in with_login_flag(fr, logins).collect()}
+    assert out == {"a.test": True, "b.test": False}
