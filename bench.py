@@ -70,7 +70,8 @@ def crawl_bench(spark, n_hosts=2048, total_pages=20_000_000,
                              global_delay=global_delay, compact_every=6,
                              seen_partitions=32, bloom_bits=1 << 21,
                              cuckoo_buckets=1 << 15)
-    root = tempfile.mkdtemp(prefix="crawlbench_")
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="crawlbench_", dir=bench_tmp)
     store = start_job(spark, root, "bench", web.seeds(n_seeds or n_hosts),
                       policy, web, settings)
     m = store.latest_manifest()

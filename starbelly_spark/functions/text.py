@@ -141,3 +141,52 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: winnow_fingerprints(t or ""))
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language ID (the classic Cavnar-Trenkle-style profile
+# heuristic; complements the SQL-expressible stopword scorer above)
+# ---------------------------------------------------------------------------
+
+# tiny per-language trigram profiles derived from the stopword sets —
+# deterministic, dependency-free; a real deployment swaps in profiles
+# trained on corpora behind the same shape
+def _build_trigram_profiles() -> dict[str, dict[str, float]]:
+    profiles = {}
+    for lang, words in STOPWORDS.items():
+        counts: dict[str, int] = {}
+        text = " " + " ".join(words * 3) + " "
+        for i in range(len(text) - 2):
+            g = text[i:i + 3]
+            counts[g] = counts.get(g, 0) + 1
+        total = sum(counts.values())
+        profiles[lang] = {g: c / total for g, c in counts.items()}
+    return profiles
+
+
+_TRIGRAM_PROFILES = _build_trigram_profiles()
+
+
+def lang_id_ngram(text: str) -> str:
+    """Char-trigram profile similarity; 'und' when nothing matches."""
+    t = " " + " ".join((text or "").lower().split()) + " "
+    if len(t) < 3:
+        return "und"
+    counts: dict[str, int] = {}
+    for i in range(len(t) - 2):
+        g = t[i:i + 3]
+        counts[g] = counts.get(g, 0) + 1
+    total = sum(counts.values())
+    best_lang, best = "und", 0.0
+    for lang in sorted(_TRIGRAM_PROFILES):
+        prof = _TRIGRAM_PROFILES[lang]
+        score = sum(min(c / total, prof[g])
+                    for g, c in counts.items() if g in prof)
+        if score > best:
+            best_lang, best = lang, score
+    return best_lang if best > 0.05 else "und"
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_ngram_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lang_id_ngram)

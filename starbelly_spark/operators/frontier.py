@@ -79,16 +79,51 @@ def pop_batch(
     )
 
     # global budget: top-`budget` by (cost, tie) — identical semantics
-    # to rank() ≤ budget, but executes as TakeOrderedAndProject
-    # (per-partition heaps + merge) instead of sorting the whole
-    # survivor set in a single window partition.  With one job this is
-    # the difference between a serial 1M-row sort and a distributed
-    # top-k.  (Multi-job pops run per job; the reference is also
-    # per-job, db.py:103-140.)
+    # to rank() ≤ budget.  Physical strategy by k:
+    #  * small k → orderBy+limit = TakeOrderedAndProject (per-partition
+    #    heaps, cheap driver merge);
+    #  * large k → range-partition + per-partition rank + offset filter
+    #    (fully distributed; a TakeOrdered merge of P×k rows on the
+    #    driver, or a single-partition window sort, would serialize).
+    # Which rows survive is a pure function of (cost, tie) either way.
+    # (Pops are per job, as in the reference, db.py:103-140.)
+    if budget <= 50_000:
+        out = df.orderBy("cost", "_tb").limit(budget)
+    else:
+        out = _global_topk_large(df, budget)
+    return out.drop("_tb", "_host_rn")
+
+
+def _global_topk_large(df: DataFrame, budget: int) -> DataFrame:
+    """Exact distributed top-k for large k: total-order range
+    repartition → local rank → cumulative-offset filter.  The range
+    bounds come from Spark's deterministic sampler and only affect
+    balance, never membership."""
+    spark = df.sparkSession
+    n = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n, F.col("cost"), F.col("_tb")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("cost", "_tb")
+    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    local = local.persist()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    if offset <= budget:   # everything fits the budget
+        return local.drop("_pid", "_lrn")
+    mapping = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
     return (
-        df.orderBy("cost", "_tb")
-        .limit(budget)
-        .drop("_tb", "_host_rn")
+        local.withColumn("_off", mapping.getItem(F.col("_pid")))
+        .where(F.col("_off") + F.col("_lrn") <= budget)
+        .drop("_pid", "_lrn", "_off")
     )
 
 

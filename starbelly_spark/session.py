@@ -31,6 +31,12 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # shuffle/spill on tmpfs when available: on this single-disk box the
+    # shuffle writes otherwise serialize the whole pipeline behind one
+    # spindle (a cluster has one disk array per executor)
+    "spark.local.dir": (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 

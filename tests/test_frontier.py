@@ -125,3 +125,17 @@ def test_with_login_flag(spark):
     )
     out = {r.host: r.needs_login for r in with_login_flag(fr, logins).collect()}
     assert out == {"a.test": True, "b.test": False}
+
+
+def test_large_budget_topk_matches_small_path(spark):
+    """The distributed large-k path must select exactly the same rows
+    as the TakeOrdered path."""
+    from starbelly_spark.operators.frontier import _global_topk_large
+
+    rows = [(f"http://h{i%9}.t/{i}", float(i % 13), False) for i in range(3000)]
+    fr = _frontier(spark, rows).withColumn("_tb", F.col("url_hash_hex"))
+    small = {r.url for r in fr.orderBy("cost", "_tb").limit(1000).collect()}
+    large = {r.url for r in _global_topk_large(fr, 1000).collect()}
+    assert small == large and len(large) == 1000
+    # budget >= total keeps everything
+    assert _global_topk_large(fr, 10**6).count() == 3000

@@ -90,3 +90,21 @@ def test_winnow_udf(spark):
         "doc_id", F.size(winnow_udf(F.col("text"))).alias("n")
     ).collect()
     assert all(r.n > 0 for r in out)
+
+
+def test_lang_id_ngram_kernel():
+    from starbelly_spark.functions.text import lang_id_ngram
+
+    assert lang_id_ngram("the cat and the dog that it was for") == "en"
+    assert lang_id_ngram("der hund und die katze ist nicht mit") == "de"
+    assert lang_id_ngram("") == "und"
+    assert lang_id_ngram("zzzz qqqq") == "und"
+
+
+def test_lang_id_ngram_udf(spark):
+    from starbelly_spark.functions.text import lang_id_ngram_udf
+
+    df = _df(spark)
+    got = {r.doc_id: r.l for r in df.select(
+        "doc_id", lang_id_ngram_udf(F.col("text")).alias("l")).collect()}
+    assert got[1] == "en" and got[5] == "und"

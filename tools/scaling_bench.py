@@ -45,11 +45,18 @@ CHILD = textwrap.dedent(
 
 def run_level(cpus: int, n_hosts: int, pages: int, budget: int, k: int,
               batches: int) -> dict:
+    """One level in a fresh subprocess, hard-pinned to exactly `cpus`
+    physical cores via taskset — otherwise the JVM's GC/IO threads give
+    the small-N level free extra cores and understate scaling."""
     code = CHILD.format(repo=REPO, n_hosts=n_hosts, pages=pages,
                         budget=budget, k=k, batches=batches)
+    env = dict(os.environ,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
     proc = subprocess.run(
-        [sys.executable, "-c", code, str(cpus)],
-        capture_output=True, text=True, timeout=1800,
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", code, str(cpus)],
+        capture_output=True, text=True, timeout=2400, env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("SCALERESULT "):
