@@ -453,7 +453,9 @@ def q_dedup_embedding_cosine_exact(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine_lsh(spark, sf_dir):
-    """Scale path: hyperplane-LSH bucketed near-dup (rows-only check)."""
+    """Scale path: hyperplane-LSH bucketed near-dup.  Fully oracled:
+    the plane matrix is deterministic float64, so DuckDB replicates
+    the sign-bucketing from SQL literals (see oracle_sql)."""
     from starbelly_spark.operators.dedup import embedding_near_dups
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
@@ -462,6 +464,8 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN via hyperplane buckets + 1-bit multiprobe.  Fully oracled:
+    probe-bucket set and plane literals are deterministic."""
     from starbelly_spark.operators.similarity import lsh_topk
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
@@ -469,27 +473,59 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# Recall-gated forms for the non-SQL-expressible approximate family
+# (minhash / simhash / winnowing are hash-procedural): the output is
+# the EXACT ground-truth pair set (pure-JVM shingle join — DuckDB
+# mirrors it in SQL) plus a constant `recall_ok` column asserting the
+# approximate operator recovered ≥ MIN_RECALL of it.  A recall
+# regression flips every row → value-hash mismatch → red.
+
+MIN_RECALL = 0.9
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    from starbelly_spark.operators.dedup import minhash_near_dups
+    from starbelly_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_near_dups,
+        recall_gated_pairs,
+    )
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return minhash_near_dups(documents, threshold=0.5)
+    exact = exact_jaccard_pairs(documents, threshold=0.5, shingle_n=3)
+    found = minhash_near_dups(documents, threshold=0.5, shingle_n=3)
+    out = recall_gated_pairs(exact, found, MIN_RECALL)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                      "recall_ok")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    from starbelly_spark.operators.dedup import simhash_near_dups
+    from starbelly_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        recall_gated_pairs,
+        simhash_near_dups,
+    )
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return simhash_near_dups(documents, max_hamming=6)
+    exact = exact_jaccard_pairs(documents, threshold=0.8, shingle_n=2)
+    found = simhash_near_dups(documents, max_hamming=6, shingle_n=2)
+    out = recall_gated_pairs(exact, found, MIN_RECALL)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                      "recall_ok")
 
 
 def q_text_winnow(spark, sf_dir):
-    from starbelly_spark.functions.text import winnow_udf
+    from starbelly_spark.functions.text import winnow_pairs
+    from starbelly_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        recall_gated_pairs,
+    )
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return documents.select(
-        "doc_id", F.size(winnow_udf(F.col("text"))).alias("n_fingerprints")
-    )
+    exact = exact_jaccard_pairs(documents, threshold=0.9, shingle_n=3)
+    found = winnow_pairs(documents)
+    out = recall_gated_pairs(exact, found, MIN_RECALL)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                      "recall_ok")
 
 
 def q_f13_header_flatten(spark, sf_dir):
@@ -610,6 +646,65 @@ def _lang_id_sql() -> str:
         expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
         expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
     return f"SELECT doc_id, {expr_lang} AS lang_guess FROM documents"
+
+
+def _exact_jaccard_sql(shingle_n: int, threshold: float) -> str:
+    """DuckDB mirror of operators.dedup.exact_jaccard_pairs +
+    recall_gated_pairs output (the gate column is literal true: a
+    Spark-side recall regression flips it and fails the hash)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(shingle_n))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                 END AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) = 0 THEN []
+                      WHEN len(t) < {shingle_n} THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len(t) - {shingle_n - 1}),
+                             i -> {concat}))
+                 END AS s_arr
+          FROM toks
+        ), expl AS (
+          SELECT doc_id, len(s_arr) AS n_sh, unnest(s_arr) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS na, b.n_sh AS nb, count(*) AS i
+          FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (na + nb - i), 6) AS jaccard,
+               true AS recall_ok
+        FROM inter WHERE i::DOUBLE / (na + nb - i) >= {threshold}
+    """
+
+
+def _bucket_sql(n_planes: int, seed: int = 42, dim: int = 64) -> str:
+    """Hyperplane sign-bucket id as a DuckDB expression over
+    `embedding` — the plane matrix emitted as SQL literals (it is a
+    deterministic function of (dim, n_planes, seed), float64 exact)."""
+    from starbelly_spark.operators.similarity import hyperplanes_as_lists
+
+    terms = []
+    for j, plane in enumerate(hyperplanes_as_lists(dim, n_planes, seed)):
+        vec = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{vec}]::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_probe_buckets(n_planes: int = 8, seed: int = 42) -> list[int]:
+    from starbelly_spark.operators.similarity import hyperplane_bucket_of
+
+    qb = hyperplane_bucket_of(_fixed_query_vec(), n_planes, seed)
+    return sorted({qb} | {qb ^ (1 << i) for i in range(n_planes)})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -824,7 +919,32 @@ def oracle_sql() -> dict[str, str]:
                    lower(p_brand) AS mime_subtype
             FROM part
         """,
-        # dedup_embedding_cosine_lsh / ann_lsh_topk / dedup_minhash_lsh /
-        # dedup_simhash / text_winnow: UDF-based approximate structures —
-        # not SQL-expressible; driver records rows-only checks.
+        "dedup_minhash_lsh": _exact_jaccard_sql(shingle_n=3, threshold=0.5),
+        "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8),
+        "text_winnow": _exact_jaccard_sql(shingle_n=3, threshold=0.9),
+        "dedup_embedding_cosine_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_bucket_sql(6)} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]) >= 0.4
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_bucket_sql(8)} AS bucket
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                [{qv}]::DOUBLE[]), 6) AS cosine
+            FROM b
+            WHERE bucket IN ({", ".join(map(str, _ann_lsh_probe_buckets()))})
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
     }

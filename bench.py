@@ -43,6 +43,29 @@ BENCH_QUERIES = [
 ]
 
 
+# the driver entries for minhash/simhash are recall-GATED (they also
+# compute the exact ground-truth join); bench times the raw operators,
+# which is what runs in a production dedup pass
+def _raw_minhash(spark, sf_dir):
+    from starbelly_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def _raw_simhash(spark, sf_dir):
+    from starbelly_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_near_dups(docs, max_hamming=6, shingle_n=2)
+
+
+RAW_OVERRIDES = {
+    "dedup_minhash_lsh": _raw_minhash,
+    "dedup_simhash": _raw_simhash,
+}
+
+
 def _run_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -106,7 +129,8 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        per_query[name] = round(_run_query(spark, qs[name], sf_dir), 3)
+        fn = RAW_OVERRIDES.get(name, qs[name])
+        per_query[name] = round(_run_query(spark, fn, sf_dir), 3)
 
     crawl = crawl_bench(spark)
 

@@ -143,6 +143,24 @@ def winnow_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: winnow_fingerprints(t or ""))
 
 
+def winnow_pairs(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Near-dup candidate pairs = docs sharing ≥1 winnowing fingerprint
+    (MOSS-style).  Scale shape: explode fingerprints → equi-join on
+    fingerprint (bucket join, never all-pairs)."""
+    fps = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_udf(F.col(text_col))).alias("_fp"),
+    ).distinct()
+    left = fps.select(F.col("_id").alias("id_a"), "_fp")
+    right = fps.select(F.col("_id").alias("id_b"), "_fp")
+    return (
+        left.join(right, "_fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character-n-gram language ID (the classic Cavnar-Trenkle-style profile
 # heuristic; complements the SQL-expressible stopword scorer above)

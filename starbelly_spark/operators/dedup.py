@@ -209,6 +209,97 @@ def minhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over ALL pairs sharing a shingle — pure JVM
+# (no UDF, no all-pairs join).  This is the ground-truth generator the
+# approximate family (minhash/simhash/winnow) is recall-gated against,
+# and it is expressible in ANSI SQL (DuckDB oracle) token-for-token.
+# ---------------------------------------------------------------------------
+
+def shingle_array_expr(text_col, n: int):
+    """array<string> of distinct n-word shingles — same semantics as
+    the Python ``_shingles`` kernel (lower, whitespace-split; a doc
+    shorter than n tokens yields its whole token string)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    toks = F.when(F.trim(text_col) == "", F.array().cast("array<string>")
+                  ).otherwise(toks)
+    n_full = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_full),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        )
+    )
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(full)
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (id_a < id_b, jaccard) pairs with exact n-gram Jaccard ≥
+    threshold.  Scale shape: explode shingles → equi-join on shingle →
+    count = |intersection|; |union| = n_a + n_b − inter.  Only pairs
+    sharing ≥1 shingle ever materialize (threshold > 0 implies that),
+    so there is no cross join.  At extreme scale, stop-shingles (df
+    above a cap) would be dropped first — a data-quality filter, not a
+    plan change."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle_array_expr(F.col(text_col), shingle_n).alias("_sh"),
+    ).select("_id", "_sh", F.size("_sh").alias("_n"))
+    expl = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
+    left = expl.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_s"
+    )
+    right = expl.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_s"
+    )
+    inter = (
+        left.join(right, "_s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def recall_gated_pairs(
+    exact_pairs: DataFrame,
+    found_pairs: DataFrame,
+    min_recall: float = 0.9,
+    gate_col: str = "recall_ok",
+) -> DataFrame:
+    """Gate an approximate near-dup operator against exact ground truth.
+
+    Returns the EXACT pair set (fully oracle-able) with a constant
+    boolean column: true iff the approximate operator recovered ≥
+    ``min_recall`` of it.  An oracle emits ``true`` literally, so a
+    recall regression flips every row and fails the value-hash check.
+    """
+    n_exact = exact_pairs.count()
+    if n_exact == 0:
+        ok = True
+    else:
+        n_found = exact_pairs.join(
+            found_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
+        ).count()
+        ok = (n_found / n_exact) >= min_recall
+    return exact_pairs.withColumn(gate_col, F.lit(bool(ok)))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -249,8 +340,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup: 16-bit chunk buckets (pigeonhole for t ≤ 3),
-    verify hamming ≤ t.  Returns (id_a, id_b, hamming)."""
+    """SimHash near-dup: chunk-bucket candidates + hamming ≤ t verify.
+    Returns (id_a, id_b, hamming).
+
+    Candidate generation splits the 64-bit signature into
+    ``max_hamming + 1`` chunks — by pigeonhole, any pair within
+    hamming t leaves at least one chunk untouched, so bucket recall is
+    EXACT (1.0) for the requested threshold.  t = 3 gives the classic
+    4×16-bit scheme; larger t trades narrower chunks (bigger buckets)
+    for guaranteed recall — at extreme scale keep t small or
+    intersect multi-chunk keys."""
+    n_chunks = max_hamming + 1
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
     sh = make_simhash_udf(shingle_n)
     sigs = (
         docs.select(id_col, text_col)
@@ -263,10 +364,11 @@ def simhash_near_dups(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftrightunsigned(F.col("simhash"), bounds[i])
+                    .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                    .alias("val"),
                 )
-                for i in range(4)
+                for i in range(n_chunks)
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
@@ -330,7 +432,10 @@ def embedding_near_dups(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+            cosine_expr(
+                F.col(f"l.{vec_col}").cast("array<double>"),
+                F.col(f"r.{vec_col}").cast("array<double>"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -53,8 +53,22 @@ def cosine_topk(
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane matrix.  Values are float32-quantized
+    (exactly representable in float64) and ALL dot products are
+    computed in float64 — so an external engine given the same plane
+    literals (see ``hyperplanes_as_lists``) reproduces the sign
+    buckets bit-for-bit, making the LSH family oracle-able in SQL."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.standard_normal((dim, n_planes)).astype(np.float32)
+    return rng.standard_normal((dim, n_planes)).astype(np.float32).astype(
+        np.float64
+    )
+
+
+def hyperplanes_as_lists(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """The exact plane vectors as Python floats (one list per plane) —
+    emit these as SQL literals to replicate bucketing in an oracle."""
+    p = _planes(dim, n_planes, seed)
+    return [[float(x) for x in p[:, j]] for j in range(n_planes)]
 
 
 def make_hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42):
@@ -68,7 +82,7 @@ def make_hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42):
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.asarray(vecs.tolist(), dtype=np.float32)
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
         planes = _planes(mat.shape[1], n_planes, seed)
         signs = (mat @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -78,7 +92,7 @@ def make_hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42):
 
 
 def hyperplane_bucket_of(vec, n_planes: int = 12, seed: int = 42) -> int:
-    v = np.asarray(vec, dtype=np.float32)
+    v = np.asarray(vec, dtype=np.float64)
     planes = _planes(len(v), n_planes, seed)
     signs = (v @ planes) > 0
     return int((signs * (1 << np.arange(n_planes))).sum())
