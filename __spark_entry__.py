@@ -253,6 +253,26 @@ def q_a3_status_counts(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+def q_a3_exception_classes(spark, sf_dir):
+    """A3/P5: three-way success/error/EXCEPTION classification where an
+    exception is a NULL status code (reference db.py:963-993 — the
+    same expression drives crawl counters and get_job_items filters).
+    The status is derived deterministically since testdata carries no
+    natural nulls."""
+    (orders,) = _load(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(200))
+        .when(F.col("o_orderstatus") == "O", F.lit(503))   # 'P' → NULL
+    )
+    df = orders.withColumn("status_code", status)
+    cls = (
+        F.when(F.col("status_code").isNull(), "exception")
+        .when(F.floor(F.col("status_code") / 100) == 2, "success")
+        .otherwise("error")
+    )
+    return df.groupBy(cls.alias("class")).agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (F5/F6/F14/F15)
 # ---------------------------------------------------------------------------
@@ -601,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_grouped_count": q_a1_grouped_count,
         "a2_max_sequence": q_a2_max_sequence,
         "a3_status_counts": q_a3_status_counts,
+        "a3_exception_classes": q_a3_exception_classes,
         "f5_regex_chain": q_f5_regex_chain,
         "f6_cost_arithmetic": q_f6_cost_arithmetic,
         "f14_duration": q_f14_duration,
@@ -800,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
         "a3_status_counts": """
             SELECT o_orderstatus AS status, count(*) AS n
             FROM orders GROUP BY o_orderstatus
+        """,
+        "a3_exception_classes": """
+            SELECT CASE WHEN status_code IS NULL THEN 'exception'
+                        WHEN status_code // 100 = 2 THEN 'success'
+                        ELSE 'error' END AS class,
+                   count(*) AS n
+            FROM (SELECT CASE WHEN o_orderstatus = 'F' THEN 200
+                              WHEN o_orderstatus = 'O' THEN 503 END
+                           AS status_code
+                  FROM orders)
+            GROUP BY 1
         """,
         "f5_regex_chain": """
             SELECT category, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price

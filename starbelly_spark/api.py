@@ -105,11 +105,45 @@ def sync_items(
         .orderBy("sequence")
         .limit(max_items)
     )
-    tail = df.agg(F.max("sequence").alias("s")).collect()[0]["s"]
-    return df, int(tail) if tail is not None else sync_token
+    # ONE execution: the page is ≤ max_items rows, so collect it and
+    # derive the token from the collected page (the previous shape ran
+    # the limited scan twice — once for max(sequence), once for rows)
+    rows = df.collect()
+    token = max((r["sequence"] for r in rows), default=sync_token)
+    page = spark.createDataFrame(rows, df.schema) if rows else df
+    return page, int(token)
 
 
 def job_status(spark: SparkSession, root: str, job_id: str) -> dict:
     from .crawl import job_stats
 
     return job_stats(spark, root, job_id)
+
+
+def resource_history(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    last_n: int = 60,
+) -> DataFrame:
+    """Rolling resource/throughput view — the analogue of the
+    reference's 1 Hz ring-buffer resource monitor
+    (``/root/reference/starbelly/resource_monitor.py:67-141``, 60-sample
+    history): the last ``last_n`` micro-batch snapshots with derived
+    rates, newest first."""
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    metrics = store.table(m, "metrics")
+    span = F.greatest(
+        F.col("clock_end") - F.col("clock_start"), F.lit(1e-9)
+    )
+    return (
+        metrics.orderBy(F.col("batch_id").desc())
+        .limit(last_n)
+        .select(
+            "batch_id", "clock_start", "clock_end",
+            "urls_fetched", "links_discovered", "links_new",
+            F.round(F.col("urls_fetched") / span, 3).alias("urls_per_sec"),
+            F.round(F.col("bytes_fetched") / span, 3).alias("bytes_per_sec"),
+        )
+    )

@@ -37,7 +37,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.urls import (
@@ -47,7 +47,12 @@ from .functions.urls import (
     url_hash_hex_udf,
     url_hash_udf,
 )
-from .operators.frontier import pop_batch
+from .operators.frontier import (
+    POP_RANK,
+    drain_pending_unpersist,
+    pop_batch,
+    with_login_flag,
+)
 from .policy import (
     Policy,
     cost_expr,
@@ -58,14 +63,22 @@ from .policy import (
 from .politeness import (
     POLITENESS_SCHEMA,
     eligible_hosts,
+    maybe_broadcast,
     update_politeness,
 )
 from .robots import apply_robots, crawl_delays, synthetic_robots_rules
-from .seen import SeenParams, add_to_segments, partition_col, split_new_urls
+from .seen import (
+    SeenParams,
+    add_to_segments,
+    latest_segments,
+    partition_col,
+    split_new_urls,
+)
 from .sources.synthetic_web import (
     WebConfig,
     fetch_schema_with,
     make_fetch_batches,
+    session_token,
 )
 from .tableio import (
     FRONTIER_SCHEMA,
@@ -79,7 +92,8 @@ RESULTS_SCHEMA = (
     "status_code int, content_type string, headers array<string>, "
     "is_success boolean, is_saved boolean, started_at double, "
     "completed_at double, duration double, body_id binary, body binary, "
-    "image_id string, caption string, phash long, w int, h int, fmt string"
+    "image_id string, caption string, phash long, w int, h int, fmt string, "
+    "authenticated boolean, session_token string"
 )
 METRICS_SCHEMA = (
     "job_id string, batch_id long, urls_popped long, urls_fetched long, "
@@ -90,7 +104,11 @@ LINEAGE_SCHEMA = (
     "job_id string, batch_id long, partition_id int, links_routed long, "
     "links_new long"
 )
-SEGMENT_SCHEMA = "partition_id int, kind string, segment binary"
+# stored segments are log-structured: operator-level SEGMENT rows
+# (seen.SEGMENT_SCHEMA) + the batch that wrote them (latest wins)
+SEGMENT_LOG_SCHEMA = (
+    "partition_id int, kind string, segment binary, batch_id long"
+)
 
 
 @dataclass(frozen=True)
@@ -102,6 +120,10 @@ class CrawlSettings:
     seen_partitions: int = 8
     bloom_bits: int = 1 << 16
     cuckoo_buckets: int = 1 << 11
+    # politeness/eligible-hosts joins broadcast only while the host
+    # table is below this row count; past it (10^8 hosts at 10^10 URLs)
+    # they fall back to a shuffle hash join on host
+    broadcast_hosts_max: int = 2_000_000
 
     def seen_params(self) -> SeenParams:
         return SeenParams(
@@ -162,6 +184,7 @@ def start_job(
     web: WebConfig,
     settings: CrawlSettings = CrawlSettings(),
     rate_limits: list[tuple[str, float]] | None = None,
+    domain_logins: list[tuple[str, str, str]] | None = None,
 ) -> JobStore:
     """Create the job: seeds → frontier at cost 0, seen-set seeded with
     seed hashes (reference job.py:332-340, db.py:217-233)."""
@@ -186,6 +209,10 @@ def start_job(
     m["web"].pop("pages_per_host", None)
     m["settings"] = asdict(settings)
     m["rate_limits"] = rate_limits or []
+    # domain_login dimension (reference db.py:477-487) + the per-job
+    # login-session state it feeds (login.py semantics, simulated)
+    m["domain_logins"] = [list(t) for t in (domain_logins or [])]
+    m["sessions"] = {}
     m["seed_domains"] = sorted({r.host for r in seeds_df.select("host").collect()})
     t = m["tables"]
     t["frontier_base"] = [store.write_dir("frontier_base", 0, seeds_df)]
@@ -195,7 +222,8 @@ def start_job(
     from .seen import empty_segments
 
     segs = add_to_segments(seeds_df.select("url_hash"),
-                           empty_segments(spark), params, job_id)
+                           empty_segments(spark), params, job_id
+                           ).withColumn("batch_id", F.lit(0).cast("long"))
     t["seen_segments"] = [store.write_dir("seen_segments", 0, segs)]
     store.commit(m)
     return store
@@ -226,12 +254,38 @@ def run_batch(store: JobStore, m: dict) -> dict:
     params = settings.seen_params()
     batch_id = m["batch_id"] + 1
     clock = float(m["clock"])
+    if settings.budget <= 0 or settings.per_host_k <= 0:
+        raise ValueError("budget and per_host_k must be positive")
 
-    frontier = store.frontier(m).cache()
     nm = new_manifest(job_id, batch_id, m)
 
+    # ---- POLICY LIMITS (reference job.py:515-544: item-limit stop +
+    # max-duration timer; duration is the deterministic crawl clock) --------
+    lim = policy.limits
+    items_so_far = int(m["counters"]["item_count"])
+    if lim.max_items is not None and items_so_far >= lim.max_items:
+        nm["run_state"] = "completed"
+        nm["completion_reason"] = "max_items"
+        store.commit(nm)
+        return nm
+    if lim.max_duration is not None and clock >= lim.max_duration:
+        nm["run_state"] = "completed"
+        nm["completion_reason"] = "max_duration"
+        store.commit(nm)
+        return nm
+    budget = settings.budget
+    if lim.max_items is not None:
+        budget = min(budget, lim.max_items - items_so_far)
+
+    frontier = store.frontier(m).cache()
+
     politeness = store.table(m, "politeness", POLITENESS_SCHEMA)
-    hosts = frontier.select("host").distinct()
+    # metadata-only parquet count → gate the politeness broadcasts
+    # (What's-wrong #3: at 10^8 hosts a broadcast would OOM the driver)
+    bcast_ok = politeness.count() <= settings.broadcast_hosts_max
+    # persisted: the distinct-host set feeds BOTH the clock agg and the
+    # eligibility semi-join in pop — one shuffle, not two
+    hosts = frontier.select("host").distinct().persist()
     # Effective clock: if no pending host is eligible right now, jump
     # to the earliest next_allowed_ts in the same batch (the
     # reference's empty-poll backoff, frontier.py:104-114, folded into
@@ -240,7 +294,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # entry is eligible immediately, so the min can never exceed the
     # earliest truly-eligible instant.
     m_row = (
-        hosts.join(F.broadcast(politeness), "host", "left")
+        hosts.join(maybe_broadcast(politeness, bcast_ok), "host", "left")
         .agg(
             F.min(
                 F.coalesce(F.col("next_allowed_ts"), F.lit(clock))
@@ -252,45 +306,65 @@ def run_batch(store: JobStore, m: dict) -> dict:
         # FrontierExhaustionError semantics (frontier.py:110-114):
         # empty + nothing in flight → COMPLETED
         nm["run_state"] = "completed"
+        nm["completion_reason"] = "exhausted"
         store.commit(nm)
         frontier.unpersist()
+        hosts.unpersist()
         return nm
     clock = max(clock, float(m_row["t"]))
     _mark("clock-agg")
 
-    eligible = eligible_hosts(hosts, politeness, clock)
+    eligible = eligible_hosts(hosts, politeness, clock, bcast_ok)
     popped = pop_batch(
-        frontier, settings.budget, settings.per_host_k, eligible
+        frontier, budget, settings.per_host_k, eligible, with_rank=True
     )
-    # the global-budget window left the batch in ONE partition per job;
-    # re-spread it (deterministic hash partitioning) so fetch/decode and
-    # link extraction run on all executors, not one python worker
+    # sequence assignment (reference's monotonic counter, storage
+    # sequence order = (cost, url_hash_hex)): the pop rank IS that
+    # order, so sequences cost zero extra jobs — no re-sort, no join
+    seq0 = int(m["sequence"])
+    popped = popped.withColumn(
+        "sequence", F.col(POP_RANK) + F.lit(seq0 - 1)
+    ).drop(POP_RANK)
+    # re-spread the batch (deterministic hash partitioning) so
+    # fetch/decode and link extraction run on all executors
     n_spread = max(2, spark.sparkContext.defaultParallelism)
     popped = popped.repartition(n_spread, "url_hash_hex").cache()
 
+    # ---- LOGIN FLOW (reference login.py: one login per credentialed
+    # domain per job, BEFORE its first fetch; session = per-job cookie
+    # jar).  J5 broadcast lookup flags the batch's hosts; new flagged
+    # hosts get a deterministic session recorded in the manifest, and
+    # the fetch kernel consumes the session map.
+    sessions: dict[str, str] = dict(m.get("sessions") or {})
+    login_hosts = sorted({t[0] for t in (m.get("domain_logins") or [])})
+    if login_hosts:
+        logins_df = spark.createDataFrame(
+            [(h,) for h in login_hosts], "host string"
+        )
+        flagged = with_login_flag(
+            popped.select("host").distinct(), logins_df
+        )
+        for r in flagged.where(F.col("needs_login")).collect():
+            if r["host"] not in sessions:
+                sessions[r["host"]] = session_token(job_id, r["host"])
+        nm["sessions"] = sessions
+
     # ---- FETCH (vectorized Arrow UDF) ------------------------------------
     fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",
-                                                 "url_hash_hex"))
-    fetched = popped.select("url", "cost", "url_hash", "url_hash_hex").mapInPandas(
+                                                 "url_hash_hex", "sequence"),
+                               sessions=sessions)
+    fetched = popped.select(
+        "url", "cost", "url_hash", "url_hash_hex", "sequence"
+    ).mapInPandas(
         fetch,
         schema=fetch_schema_with(
-            "cost double, url_hash binary, url_hash_hex string"
+            "cost double, url_hash binary, url_hash_hex string, sequence long"
         ),
     ).cache()
 
-    # ---- RESULTS (sequence assignment = reference's monotonic counter) ---
-    # the total order is (cost, url_hash_hex); rank the NARROW key pair
-    # globally (tiny rows) and broadcast-join the sequence back, instead
-    # of sorting full rows (with image bodies) in a single partition
-    seq0 = int(m["sequence"])
-    seq_w = Window.partitionBy(F.lit(1)).orderBy("cost", "url_hash_hex")
-    seq_map = F.broadcast(
-        fetched.select("cost", "url_hash_hex").withColumn(
-            "sequence", F.row_number().over(seq_w) + F.lit(seq0 - 1)
-        ).select("url_hash_hex", "sequence")
-    )
+    # ---- RESULTS ----------------------------------------------------------
     results = (
-        fetched.join(seq_map, "url_hash_hex")
+        fetched
         .withColumn("job_id", F.lit(job_id))
         .withColumn("started_at", F.lit(clock))
         .withColumn(
@@ -330,7 +404,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
         "sequence", "job_id", "url", "cost", "status_code", "content_type",
         "headers", "is_success", "is_saved", "started_at", "completed_at",
         "duration", "body_id", "body", "image_id", "caption", "phash",
-        "w", "h", "fmt",
+        "w", "h", "fmt", "authenticated", "session_token",
     ).cache()
 
     # ---- EXTRACT / DEDUP ---------------------------------------------------
@@ -366,20 +440,39 @@ def run_batch(store: JobStore, m: dict) -> dict:
     ).where(cost_gate_expr(policy, F.col("cost")))
 
     robots_rules = synthetic_robots_rules(spark, web.n_hosts, web.seed)
-    allowed = apply_robots(priced, robots_rules, policy)
+    # row_key_cols: each (url, parent, pos) row gets its own robots
+    # decision so the first-parent dedup below is the ONLY collapse
+    # point (a url-only window here would keep an arbitrary parent)
+    allowed = apply_robots(priced, robots_rules, policy,
+                           row_key_cols=("parent_seq", "pos"))
 
     # within-batch first-parent-wins dedup (reference: the first item
     # processed inserts the URL and registers it as seen; later items
-    # skip it — extractor.py:105-116 with sequential processing)
-    dedup_w = Window.partitionBy("url").orderBy("parent_seq", "pos")
+    # skip it — extractor.py:105-116 with sequential processing).
+    # min(struct) instead of a row_number window: a hash aggregate
+    # with MAP-SIDE partial aggregation — each task pre-collapses its
+    # duplicates before the shuffle, and nothing is ever sorted.
+    # (parent_seq, pos) leads the struct and is unique per row, so the
+    # min is exactly the first-parent row.
     candidates = (
-        allowed.withColumn("_rn", F.row_number().over(dedup_w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "parent_seq", "parent_cost", "pos")
+        allowed.groupBy("url")
+        .agg(
+            F.min(
+                F.struct("parent_seq", "pos", "host", "url_hash", "cost")
+            ).alias("_first")
+        )
+        .select(
+            "url",
+            F.col("_first.host").alias("host"),
+            F.col("_first.url_hash").alias("url_hash"),
+            F.col("_first.cost").alias("cost"),
+        )
         .withColumn("url_hash_hex", F.lower(F.hex(F.col("url_hash"))))
     )
 
-    segments = store.table(m, "seen_segments", SEGMENT_SCHEMA)
+    segments = latest_segments(
+        store.table(m, "seen_segments", SEGMENT_LOG_SCHEMA)
+    )
     seen_exact = store.table(m, "seen_exact", SEEN_EXACT_SCHEMA)
     new_urls = split_new_urls(
         candidates, segments, seen_exact, params, job_id
@@ -423,14 +516,26 @@ def run_batch(store: JobStore, m: dict) -> dict:
                                 F.array().cast("array<string>")))).alias("links"),
     ).collect()
     _mark("stats-agg (pop+fetch+results)")
-    assert per_status, "non-empty frontier must pop at clock_eff"
+    if not per_status:
+        # nothing popped (only reachable through degenerate settings —
+        # the clock jump guarantees an eligible host otherwise): commit
+        # a clean zero-progress batch instead of crashing
+        store.commit(nm)
+        for df in (frontier, hosts, popped, fetched, results_out, new_urls):
+            df.unpersist()
+        drain_pending_unpersist()
+        return nm
     clock_end = max(float(r["max_completed"]) for r in per_status)
     n_popped = sum(r["n"] for r in per_status)
     n_links_discovered = sum(r["links"] for r in per_status)
+    # a fetch with NO status code is an exception, counted apart from
+    # http errors (reference db.py:429-464 tracks the three classes)
     stats = {
         "fetched": n_popped,
         "ok": sum(r["ok"] for r in per_status),
-        "err": sum(r["n"] - r["ok"] for r in per_status),
+        "err": sum(r["n"] - r["ok"] for r in per_status
+                   if r["status_code"] is not None),
+        "exc": sum(r["n"] for r in per_status if r["status_code"] is None),
         "images": sum(r["images"] for r in per_status),
         "bytes": sum(r["bytes"] for r in per_status),
     }
@@ -477,9 +582,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
     salted = new_frontier.repartition(
         n_part, F.xxhash64("host", "url_hash_hex")
     )
+    # merge-on-read: only partitions touched by this batch's new URLs
+    # are rebuilt and appended (latest_segments resolves on read)
     new_segments = add_to_segments(
-        new_urls.select("url_hash"), segments, params, job_id
-    )
+        new_urls.select("url_hash"), segments, params, job_id,
+        touched_only=True,
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
     # seen_exact needs no write of its own: the new frontier rows ARE
     # the newly-seen URLs, so the manifest just references the
     # frontier_add dir a second time (parquet column pruning reads only
@@ -504,13 +612,13 @@ def run_batch(store: JobStore, m: dict) -> dict:
 
     t = nm["tables"]
     for key in ("results", "frontier_add", "frontier_del",
-                "metrics", "lineage"):
+                "metrics", "lineage", "seen_segments"):
         t.setdefault(key, []).append(rels[key])
     t.setdefault("seen_exact", []).append(rels["frontier_add"])
-    t["seen_segments"] = [rels["seen_segments"]]
     t["politeness"] = [rels["politeness"]]
 
-    # frontier log compaction (merge-on-read → rewrite base)
+    # log compaction (merge-on-read → rewrite base): frontier AND the
+    # seen-segments log (resolve latest once, drop superseded versions)
     if batch_id % settings.compact_every == 0:
         compacted = store.frontier(nm)
         t["frontier_base"] = [
@@ -518,20 +626,28 @@ def run_batch(store: JobStore, m: dict) -> dict:
         ]
         t["frontier_add"] = []
         t["frontier_del"] = []
+        seg_latest = latest_segments(
+            store.table(nm, "seen_segments", SEGMENT_LOG_SCHEMA)
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        t["seen_segments"] = [
+            store.write_dir("seen_segments_base", batch_id, seg_latest)
+        ]
         _mark("compaction")
 
     c = nm["counters"]
     c["item_count"] += int(stats["fetched"])
     c["http_success_count"] += int(stats["ok"])
     c["http_error_count"] += int(stats["err"])
+    c["exception_count"] += int(stats["exc"])
     for k, v in status_counts.items():
         c["http_status_counts"][k] = c["http_status_counts"].get(k, 0) + v
     nm["sequence"] = seq0 + n_popped
     nm["clock"] = clock_end
     store.commit(nm)
 
-    for df in (frontier, popped, fetched, results_out, new_urls):
+    for df in (frontier, hosts, popped, fetched, results_out, new_urls):
         df.unpersist()
+    drain_pending_unpersist()
     return nm
 
 
@@ -550,8 +666,12 @@ def run_crawl(
     while m["run_state"] == "running":
         if max_batches is not None and batches >= max_batches:
             break
+        prev = (m["counters"]["item_count"], m["clock"])
         m = run_batch(store, m)
         batches += 1
+        if (m["counters"]["item_count"], m["clock"]) == prev and \
+                m["run_state"] == "running":
+            break  # zero-progress batch (degenerate config) — stop cleanly
     return m
 
 
@@ -571,6 +691,7 @@ def resume_job(spark: SparkSession, root: str, job_id: str) -> dict:
     m = store.latest_manifest()
     nm = new_manifest(job_id, m["batch_id"] + 1, m)
     nm["run_state"] = "running"
+    nm.pop("completion_reason", None)
     store.commit(nm)
     return nm
 
@@ -593,6 +714,7 @@ def job_stats(spark: SparkSession, root: str, job_id: str) -> dict:
     m = store.latest_manifest()
     return {
         "run_state": m["run_state"],
+        "completion_reason": m.get("completion_reason"),
         "batch_id": m["batch_id"],
         "clock": m["clock"],
         "sequence": m["sequence"],

@@ -47,12 +47,67 @@ def _first_group(m: re.Match) -> str:
     return next(g for g in m.groups() if g is not None)
 
 
-def extract_html_links(base_url: str, body: bytes | str) -> list[str]:
+# ---------------------------------------------------------------------------
+# Charset detection + decode (F10).  The reference uses chardet +
+# w3lib.encoding.html_to_unicode (extractor.py:200-204); this is the
+# deterministic, dependency-free precedence chain covering the same
+# decisions: BOM > header charset > <meta> charset > utf-8 if valid >
+# latin-1 (never fails).
+# ---------------------------------------------------------------------------
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+_HEADER_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([\w.:-]+)""", re.IGNORECASE
+)
+
+
+def detect_charset(body: bytes, content_type: str | None = None) -> str:
+    """Pick the decode charset: BOM sniff → Content-Type header →
+    <meta charset> in the first 4 KB → utf-8 if it validates →
+    latin-1 fallback."""
+    for bom, enc in _BOMS:
+        if body.startswith(bom):
+            return enc
+    for source in (
+        _HEADER_CHARSET_RE.search(content_type or ""),
+        _META_CHARSET_RE.search(body[:4096]),
+    ):
+        if source:
+            g = source.group(1)
+            enc = (g if isinstance(g, str) else g.decode("ascii", "ignore"))
+            try:
+                b"x".decode(enc)
+                return enc.lower()
+            except (LookupError, UnicodeDecodeError):
+                pass  # unknown label → keep sniffing
+    try:
+        body.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def decode_body(body: bytes | str, content_type: str | None = None) -> str:
+    """Decode fetched bytes to text via detect_charset; never raises."""
+    if isinstance(body, str):
+        return body
+    return body.decode(detect_charset(body, content_type), errors="replace")
+
+
+def extract_html_links(base_url: str, body: bytes | str,
+                       content_type: str | None = None) -> list[str]:
     """<a href> extraction with <base> handling; relative → absolute."""
     if isinstance(body, bytes):
         if len(body) > MAX_PARSE_BYTES:
             return []
-        text = body.decode("utf-8", errors="replace")
+        text = decode_body(body, content_type)
     else:
         text = body
     base_m = _BASE_RE.search(text)
@@ -69,9 +124,10 @@ def extract_html_links(base_url: str, body: bytes | str) -> list[str]:
     return out
 
 
-def extract_feed_links(body: bytes | str) -> list[str]:
+def extract_feed_links(body: bytes | str,
+                       content_type: str | None = None) -> list[str]:
     """Atom <link href=...> and RSS <link>text</link> entries."""
-    text = body.decode("utf-8", errors="replace") if isinstance(body, bytes) else body
+    text = decode_body(body, content_type)
     links = []
     try:
         root = ElementTree.fromstring(text)
@@ -87,10 +143,11 @@ def extract_feed_links(body: bytes | str) -> list[str]:
     return links
 
 
-def extract_sitemap_links(body: bytes | str) -> list[str]:
+def extract_sitemap_links(body: bytes | str,
+                          content_type: str | None = None) -> list[str]:
     """<url><loc> page entries + <sitemap><loc> nested index files,
     namespace-tolerant (sitemap.py:20-83 semantics)."""
-    text = body.decode("utf-8", errors="replace") if isinstance(body, bytes) else body
+    text = decode_body(body, content_type)
     try:
         root = ElementTree.fromstring(text)
     except ElementTree.ParseError:
@@ -118,11 +175,11 @@ def extract_links(url: str, content_type: str | None,
         return []
     typ, sub = parse_mime(content_type)
     if (typ, sub) in (("text", "html"), ("application", "xhtml+xml")):
-        return extract_html_links(url, body)
+        return extract_html_links(url, body, content_type)
     if sub in ("atom+xml", "rss+xml") or (typ, sub) == ("application", "xml"):
         if b"<urlset" in body[:4096] or b"<sitemapindex" in body[:4096]:
-            return extract_sitemap_links(body)
-        return extract_feed_links(body)
+            return extract_sitemap_links(body, content_type)
+        return extract_feed_links(body, content_type)
     return []   # unsupported MIME → nothing to extract
 
 

@@ -46,11 +46,15 @@ def tie_break_col(df: DataFrame) -> Column:
     return F.lower(F.hex(F.col("url_hash")))
 
 
+POP_RANK = "_pop_rank"
+
+
 def pop_batch(
     frontier: DataFrame,
     budget: int,
     per_host_k: int = 1,
     eligible_hosts: DataFrame | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Pop the next micro-batch off the frontier.
 
@@ -66,6 +70,11 @@ def pop_batch(
         time, rate_limiter.py:271-278).
     eligible_hosts : optional (host) DataFrame of hosts whose
         politeness delay has expired; broadcast-joined (tiny).
+    with_rank : add ``_pop_rank`` — the 1-based rank of each popped
+        row in the batch's (cost, tie) total order.  This IS the
+        within-batch sequence order, so the crawl engine assigns result
+        sequences directly from it (zero extra jobs — the rank falls
+        out of the pop stage itself).
     """
     df = frontier.where(~F.col("in_flight"))
     if eligible_hosts is not None:
@@ -81,50 +90,98 @@ def pop_batch(
     # global budget: top-`budget` by (cost, tie) — identical semantics
     # to rank() ≤ budget.  Physical strategy by k:
     #  * small k → orderBy+limit = TakeOrderedAndProject (per-partition
-    #    heaps, cheap driver merge);
+    #    heaps, cheap driver merge); the rank (if asked for) is a
+    #    window over the ≤ budget survivors partitioned by job_id —
+    #    bounded rows, never the raw frontier;
     #  * large k → range-partition + per-partition rank + offset filter
     #    (fully distributed; a TakeOrdered merge of P×k rows on the
-    #    driver, or a single-partition window sort, would serialize).
+    #    driver, or a single-partition window sort, would serialize) —
+    #    the exact global rank falls out for free.
     # Which rows survive is a pure function of (cost, tie) either way.
     # (Pops are per job, as in the reference, db.py:103-140.)
     if budget <= 50_000:
         out = df.orderBy("cost", "_tb").limit(budget)
+        if with_rank:
+            w = Window.partitionBy("job_id").orderBy("cost", "_tb")
+            out = out.withColumn(POP_RANK, F.row_number().over(w).cast("long"))
     else:
-        out = _global_topk_large(df, budget)
+        ranked, total = global_rank(df, ["cost", "_tb"], POP_RANK)
+        out = ranked if total <= budget else ranked.where(
+            F.col(POP_RANK) <= budget
+        )
+        if not with_rank:
+            out = out.drop(POP_RANK)
     return out.drop("_tb", "_host_rn")
 
 
-def _global_topk_large(df: DataFrame, budget: int) -> DataFrame:
-    """Exact distributed top-k for large k: total-order range
-    repartition → local rank → cumulative-offset filter.  The range
-    bounds come from Spark's deterministic sampler and only affect
-    balance, never membership."""
+# DataFrames persisted by global_rank that are still referenced by a
+# returned plan.  Callers (run_batch) drain this once the batch's
+# results are materialized — without it, every large pop/rank leaks a
+# cached DataFrame into executor storage memory for the crawl's life.
+_PENDING_UNPERSIST: list[DataFrame] = []
+
+
+def drain_pending_unpersist() -> None:
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_grank",
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based rank over a total order, fully distributed
+    — no single-partition window stage ever.
+
+    Range-repartition on the order keys → per-partition row_number →
+    add the cumulative row count of preceding partitions (one tiny
+    collect of per-partition counts).  Range bounds come from Spark's
+    deterministic sampler and affect only balance, never rank values.
+    Returns (ranked_df, total_rows).  The intermediate persist is
+    registered for ``drain_pending_unpersist``.
+    """
     spark = df.sparkSession
-    n = max(2, spark.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(n, F.col("cost"), F.col("_tb")).withColumn(
+    n = n_partitions or max(2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy("cost", "_tb")
-    local = ranged.withColumn("_lrn", F.row_number().over(w))
-    local = local.persist()
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).persist()
     counts = {
         r["_pid"]: r["n"]
         for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
+    _PENDING_UNPERSIST.append(local)
+    if not counts:
+        return (
+            local.withColumn(rank_col, F.col("_lrn").cast("long"))
+            .drop("_pid", "_lrn"),
+            0,
+        )
     offset, offsets = 0, {}
     for pid in sorted(counts):
         offsets[pid] = offset
         offset += counts[pid]
-    if offset <= budget:   # everything fits the budget
-        return local.drop("_pid", "_lrn")
     mapping = F.create_map(
         *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
     )
-    return (
-        local.withColumn("_off", mapping.getItem(F.col("_pid")))
-        .where(F.col("_off") + F.col("_lrn") <= budget)
-        .drop("_pid", "_lrn", "_off")
+    ranked = (
+        local.withColumn(
+            rank_col,
+            (mapping.getItem(F.col("_pid")) + F.col("_lrn")).cast("long"),
+        )
+        .drop("_pid", "_lrn")
     )
+    return ranked, offset
+
+
 
 
 def topk_per_group(

@@ -43,15 +43,28 @@ def effective_delay_col(global_delay: float, obey_crawl_delay: bool):
     return F.coalesce(*parts)
 
 
+def maybe_broadcast(df: DataFrame, ok: bool) -> DataFrame:
+    """Broadcast hint gated by a size check.  The politeness table is
+    O(#hosts fetched): tiny for most crawls, but at 10^10 URLs #hosts
+    can reach 10^8 — past any broadcast limit.  Callers count the
+    table (parquet metadata count — no scan) and fall back to a
+    shuffle hash join on ``host`` above the threshold."""
+    return F.broadcast(df) if ok else df
+
+
 def eligible_hosts(
-    frontier_hosts: DataFrame, politeness: DataFrame, now: float
+    frontier_hosts: DataFrame,
+    politeness: DataFrame,
+    now: float,
+    broadcast_ok: bool = True,
 ) -> DataFrame:
     """Hosts whose delay has expired (or that were never fetched).
 
     ``frontier_hosts``: distinct (host) of the pending frontier.
     """
     return (
-        frontier_hosts.join(F.broadcast(politeness), "host", "left")
+        frontier_hosts.join(maybe_broadcast(politeness, broadcast_ok),
+                            "host", "left")
         .where(
             F.col("next_allowed_ts").isNull()
             | (F.col("next_allowed_ts") <= F.lit(now))
@@ -100,9 +113,12 @@ def update_politeness(
             (F.col("completion_ts") + delay).alias("next_allowed_ts"),
         )
     )
-    # newest state per host wins
-    merged = politeness.unionByName(updates).groupBy("host").agg(
-        F.max("delay").alias("delay"),
-        F.max("next_allowed_ts").alias("next_allowed_ts"),
-    )
-    return merged
+    # LAST-writer-wins per host: a host fetched this batch takes its
+    # whole row (delay + next_allowed_ts together) from the update —
+    # so a rate limit LOWERED mid-crawl (reference supports live
+    # rate_limit changefeeds, db.py:1117, per-domain-supersedes
+    # rate_limiter.py:287-291) takes effect next batch.  max()-merging
+    # would pin the stale higher delay forever and could mix delay and
+    # next_allowed_ts from different rows.
+    untouched = politeness.join(updates.select("host"), "host", "left_anti")
+    return untouched.unionByName(updates)

@@ -61,6 +61,7 @@ class Schedule:
     time_unit: str                       # MINUTES … YEARS
     timing: str                          # REGULAR_INTERVAL | AFTER_…
     enabled: bool = True
+    job_name: str = "Job {COUNT}"        # {COUNT} {DATE} {TIME} vars
 
 
 def next_event(
@@ -102,3 +103,129 @@ def next_month_clamped_expr(ts_col: Column, months: int = 1) -> Column:
     """Set-oriented month arithmetic (Spark's add_months already
     clamps month-ends — matches add_interval MONTHS semantics)."""
     return F.add_months(ts_col, months)
+
+
+def format_job_name(template: str, when: datetime, job_count: int) -> str:
+    """Job-name templating (reference ``schedule.py:190-203``):
+    {COUNT} = how many jobs this schedule has started, {TIME} = unix
+    seconds, {DATE} = ISO-ish timestamp of the event's due time."""
+    return template.format(
+        COUNT=job_count,
+        TIME=int(when.timestamp()),
+        DATE=when.strftime("%Y-%m-%dT%H:%M:%S"),
+    )
+
+
+class Scheduler:
+    """Deterministic scheduler event loop (reference
+    ``schedule.py:369-459``, de-trio'd: time is an argument, not a
+    clock, so tests and the driver advance it explicitly).
+
+    Semantics pinned by the reference:
+
+    * a schedule first added with NO job history fires after a fixed
+      initial delay (reference: 60 s, ``schedule.py:420-421``);
+    * on a job-state change (``on_job_state``) the next event is
+      recomputed from the event time — REGULAR_INTERVAL reschedules
+      when a job STARTS, AFTER_PREVIOUS_JOB_FINISHED when it finishes
+      (``schedule.py:379-413``);
+    * when an event fires while the schedule's previous job is still
+      running, the old job is CANCELLED first (``schedule.py:438-459``);
+    * job names are formatted with {COUNT}/{DATE}/{TIME}, COUNT
+      incremented before formatting (first job = 1).
+    """
+
+    FINISHED = ("completed", "cancelled")
+
+    def __init__(self, start_job_fn, cancel_job_fn,
+                 initial_delay_seconds: float = 60.0):
+        self._start = start_job_fn       # (schedule, job_name, due) -> job_id
+        self._cancel = cancel_job_fn     # (job_id) -> None
+        self._initial_delay = initial_delay_seconds
+        self._events: list[tuple[datetime, int, str]] = []
+        self._seq = 0
+        self._schedules: dict[str, Schedule] = {}
+        self._running: dict[str, str] = {}      # schedule_id → job_id
+        self._job_counts: dict[str, int] = {}
+
+    def _push(self, due: datetime, schedule_id: str) -> None:
+        import heapq
+
+        self._seq += 1
+        heapq.heappush(self._events, (due, self._seq, schedule_id))
+
+    def add_schedule(self, schedule: Schedule, now: datetime,
+                     latest_job: dict | None = None) -> None:
+        """latest_job: {job_id, run_state, started_at, completed_at}
+        of the schedule's most recent job (J2 lookup), or None."""
+        sid = schedule.schedule_id
+        if sid in self._schedules:
+            raise ValueError(f"schedule {sid} already added")
+        self._schedules[sid] = schedule
+        due = None
+        if latest_job:
+            finished = latest_job["run_state"] in self.FINISHED
+            if schedule.timing == REGULAR_INTERVAL:
+                due = add_interval(latest_job["started_at"],
+                                   schedule.num_units, schedule.time_unit)
+            elif finished:
+                due = add_interval(latest_job["completed_at"],
+                                   schedule.num_units, schedule.time_unit)
+            if not finished and latest_job.get("job_id"):
+                self._running[sid] = latest_job["job_id"]
+        else:
+            due = now + timedelta(seconds=self._initial_delay)
+        if due is not None:
+            self._push(due, sid)
+
+    def remove_schedule(self, schedule_id: str) -> None:
+        self._schedules.pop(schedule_id, None)
+        self._running.pop(schedule_id, None)
+
+    def on_job_state(self, schedule_id: str, job_id: str, run_state: str,
+                     event_time: datetime) -> None:
+        """Recompute the next event on a job state change."""
+        sched = self._schedules.get(schedule_id)
+        if sched is None:
+            return
+        finished = run_state in self.FINISHED
+        if ((not finished and sched.timing == REGULAR_INTERVAL)
+                or (finished and sched.timing == AFTER_PREVIOUS_JOB_FINISHED)):
+            self._push(
+                add_interval(event_time, sched.num_units, sched.time_unit),
+                schedule_id,
+            )
+        if finished:
+            if self._running.get(schedule_id) == job_id:
+                self._running.pop(schedule_id, None)
+        else:
+            self._running[schedule_id] = job_id
+
+    def next_due(self) -> datetime | None:
+        return self._events[0][0] if self._events else None
+
+    def tick(self, now: datetime) -> list[str]:
+        """Fire every due event: cancel a still-running previous job of
+        the same schedule, then start the new one.  Returns started
+        job ids.  (The NEXT event is not pushed here — it arrives via
+        on_job_state when the started job reports its state, exactly
+        like the reference's listen task.)"""
+        import heapq
+
+        started = []
+        while self._events and self._events[0][0] <= now:
+            due, _, sid = heapq.heappop(self._events)
+            sched = self._schedules.get(sid)
+            if sched is None or not sched.enabled:
+                continue
+            old = self._running.get(sid)
+            if old is not None:
+                self._cancel(old)
+                self._running.pop(sid, None)
+            count = self._job_counts.get(sid, 0) + 1
+            self._job_counts[sid] = count
+            name = format_job_name(sched.job_name, due, count)
+            job_id = self._start(sched, name, due)
+            self._running[sid] = job_id
+            started.append(job_id)
+        return started

@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SEGMENT_SCHEMA = "partition_id int, kind string, segment binary"
@@ -258,6 +258,25 @@ def empty_segments(spark) -> DataFrame:
     return spark.createDataFrame([], SEGMENT_SCHEMA)
 
 
+def latest_segments(seg_log: DataFrame) -> DataFrame:
+    """Resolve a log-structured segments table (SEGMENT_SCHEMA +
+    ``batch_id``) to the newest segment per (partition_id, kind).
+
+    The segments store is merge-on-read: each micro-batch appends only
+    the partitions it TOUCHED (at 1024 partitions × ~12 MB, a full
+    snapshot rewrite would be a ~12 GB write per batch).  Readers
+    resolve the latest version with this tiny window (O(#partitions ×
+    #dirs-since-compaction) rows of metadata + blobs)."""
+    w = Window.partitionBy("partition_id", "kind").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        seg_log.withColumn("_v", F.row_number().over(w))
+        .where(F.col("_v") == 1)
+        .drop("_v", "batch_id")
+    )
+
+
 def _load_filters(seg_pdf: pd.DataFrame, params: SeenParams, job_id: str,
                   pid: int):
     bloom = cuckoo = None
@@ -322,13 +341,22 @@ def add_to_segments(
     segments: DataFrame,
     params: SeenParams,
     job_id: str,
+    touched_only: bool = False,
 ) -> DataFrame:
-    """Fold newly-seen url_hashes into the filter segments; returns the
-    FULL new segments table (all partitions, including untouched)."""
+    """Fold newly-seen url_hashes into the filter segments.
+
+    ``touched_only=False``: returns the FULL new segments table (all
+    partitions, including untouched) — a snapshot write.
+    ``touched_only=True``: returns ONLY the partitions that received
+    new hashes — the merge-on-read append path (see latest_segments);
+    the write per batch is O(touched partitions), not O(all)."""
     nu = new_urls.select(
         partition_col(F.col("url_hash"), params.n_partitions).alias("partition_id"),
         "url_hash",
     )
+    if touched_only:
+        touched = nu.select("partition_id").distinct()
+        segments = segments.join(F.broadcast(touched), "partition_id", "semi")
 
     def _update(key, nu_pdf: pd.DataFrame, seg_pdf: pd.DataFrame):
         pid = int(key[0])

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from .functions.urls import canonicalize_url, url_hash, url_host
 from .policy import DOES_NOT_MATCH, IGNORE, INVERT, MATCHES, Policy, expand_seed_domains
-from .sources.synthetic_web import WebConfig, fetch_one
+from .sources.synthetic_web import WebConfig, fetch_one, session_token
 
 _SCHEME_RE = re.compile(r"^https?://")
 
@@ -56,18 +56,21 @@ def _robots_allowed(rules, policy: Policy, host: str, url: str) -> bool:
     if policy.robots.usage == IGNORE:
         return True
     m = re.match(r"^https?://[^/]+(/.*)$", url)
-    path = m.group(1) if m else "/"
-    matching = [
-        r for r in rules
-        if r[0] == host
-        and (r[1] == "*" or r[1] == policy.user_agent)
-        and path.startswith(r[2])
-    ]
-    if not matching:
-        return True  # no rules (or none match) → permissive, INVERT keeps too
-    matching.sort(key=lambda r: (0 if r[1] == policy.user_agent else 1,
-                                 -len(r[2]), not r[3]))
-    allowed = bool(matching[0][3])
+    path = m.group(1) if (m and m.group(1)) else "/"
+    agent = policy.user_agent.lower()
+    host_rules = [r for r in rules if r[0] == host]
+    # group selection: a specific-UA group REPLACES '*' (robots.py)
+    group = [r for r in host_rules if r[1].lower() == agent]
+    if not group:
+        group = [r for r in host_rules if r[1] == "*"]
+    matching = [r for r in group if path.startswith(r[2])]
+    if matching:
+        matching.sort(key=lambda r: (-len(r[2]), not r[3]))
+        allowed = bool(matching[0][3])
+    else:
+        allowed = True  # no rules / none match → decision is 'allowed'
+    # INVERT negates the DECISION unconditionally (reference
+    # robots.py:90-92) — so under INVERT a permissive host is dropped
     return (not allowed) if policy.robots.usage == INVERT else allowed
 
 
@@ -106,10 +109,14 @@ def simulate_crawl(
     global_delay: float = 5.0,
     rate_limits: dict[str, float] | None = None,
     max_batches: int | None = None,
+    domain_logins: list[str] | None = None,
+    job_id: str = "job",
 ) -> SimResult:
     strip = (policy.normalization.strip_parameters
              if policy.normalization.enabled else ())
     rate_limits = rate_limits or {}
+    login_hosts = set(domain_logins or [])
+    sessions: dict[str, str] = {}
     robots = _sim_robots_rules(web.n_hosts, web.seed)
     cds = _crawl_delays(robots) if policy.robots.obey_crawl_delay else {}
 
@@ -161,10 +168,17 @@ def simulate_crawl(
         survivors.sort()
         popped = survivors[:budget]
 
+        # login flow: one session per credentialed host per job,
+        # established before its first fetch (login.py semantics)
+        for _, _, u in popped:
+            h = url_host(u)
+            if h in login_hosts and h not in sessions:
+                sessions[h] = session_token(job_id, h)
+
         # fetch all concurrently at `clock`
         batch_results = []
         for c, t, u in popped:
-            r = fetch_one(web, u)
+            r = fetch_one(web, u, sessions.get(url_host(u)))
             completion = clock + r["latency_ms"] / 1000.0
             batch_results.append((c, t, u, r, completion))
             del frontier[u]
@@ -180,6 +194,8 @@ def simulate_crawl(
                 "url": u, "cost": c, "status_code": r["status_code"],
                 "image_id": r["image_id"], "caption": r["caption"],
                 "completed_at": completion,
+                "authenticated": r["authenticated"],
+                "session_token": r["session_token"],
             })
             clock_end = max(clock_end, completion)
             h = url_host(u)

@@ -115,16 +115,31 @@ def out_links(cfg: WebConfig, host: int, page: int) -> list[str]:
     return links
 
 
-def fetch_one(cfg: WebConfig, url: str) -> dict:
+def session_token(job_id: str, host: str) -> str:
+    """Deterministic per-(job, host) login session token — the
+    simulated analogue of the reference's per-job cookie session
+    (``/root/reference/starbelly/login.py:1-286``: one login flow per
+    credentialed domain per job, cookies live in the job's jar)."""
+    import hashlib
+
+    return hashlib.blake2b(
+        f"{job_id}|{host}".encode(), digest_size=8
+    ).hexdigest()
+
+
+def fetch_one(cfg: WebConfig, url: str, session: str | None = None) -> dict:
     """Deterministic fetch of one URL (pure kernel; also used by the
-    driver-side equivalence simulator)."""
+    driver-side equivalence simulator).  ``session``: login session
+    token for the URL's host, stamped onto the response — the fetch
+    runs authenticated iff the crawl established a session first."""
+    auth = {"authenticated": session is not None, "session_token": session}
     hp = parse_url(url)
     if hp is None or not page_exists(cfg, *hp):
         return {
             "url": url, "status_code": 404, "content_type": None,
             "body": None, "links": [], "latency_ms": 20,
             "image_id": None, "caption": None, "phash": None,
-            "w": None, "h": None, "fmt": None,
+            "w": None, "h": None, "fmt": None, **auth,
         }
     host, page = hp
     hv = _h(cfg, "resp", host, page)
@@ -133,6 +148,15 @@ def fetch_one(cfg: WebConfig, url: str) -> dict:
         status = 404
     elif hv % ERR_EVERY == 29:
         status = 500
+    elif hv % ERR_EVERY == 41:
+        # network-level exception: NO status code at all (reference
+        # tracks these apart from http errors, db.py:429-464)
+        return {
+            "url": url, "status_code": None, "content_type": None,
+            "body": None, "links": [], "latency_ms": 20 + (hv % 50),
+            "image_id": None, "caption": None, "phash": None,
+            "w": None, "h": None, "fmt": None, **auth,
+        }
     latency = 50 + (hv % 200)
     if is_image_page(cfg, host, page):
         image_id, w, h, fmt, caption = image_meta(cfg, host, page)
@@ -146,7 +170,7 @@ def fetch_one(cfg: WebConfig, url: str) -> dict:
             "content_type": f"image/{fmt}" if status == 200 else None,
             "body": body, "links": [], "latency_ms": latency,
             "image_id": image_id, "caption": caption, "phash": ph,
-            "w": w, "h": h, "fmt": fmt,
+            "w": w, "h": h, "fmt": fmt, **auth,
         }
     content_type, body = page_payload(cfg, host, page)
     if status != 200:
@@ -154,7 +178,7 @@ def fetch_one(cfg: WebConfig, url: str) -> dict:
             "url": url, "status_code": status, "content_type": None,
             "body": None, "links": [], "latency_ms": latency,
             "image_id": None, "caption": None, "phash": None,
-            "w": None, "h": None, "fmt": None,
+            "w": None, "h": None, "fmt": None, **auth,
         }
     # the engine extracts links by PARSING the body (F7-F9), exactly as
     # the reference parses fetched HTML/feeds/sitemaps — not by reading
@@ -169,7 +193,7 @@ def fetch_one(cfg: WebConfig, url: str) -> dict:
         "body": body,
         "links": links, "latency_ms": latency,
         "image_id": None, "caption": None, "phash": None,
-        "w": None, "h": None, "fmt": None,
+        "w": None, "h": None, "fmt": None, **auth,
     }
 
 
@@ -223,21 +247,36 @@ def page_payload(cfg: WebConfig, host: int, page: int) -> tuple[str, bytes]:
 FETCH_SCHEMA = (
     "url string, status_code int, content_type string, body binary, "
     "links array<string>, latency_ms int, image_id string, caption string, "
-    "phash long, w int, h int, fmt string"
+    "phash long, w int, h int, fmt string, authenticated boolean, "
+    "session_token string"
 )
 
+_HOST_RE = re.compile(r"^https?://([^/]+)")
 
-def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = ()):
+
+def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = (),
+                       sessions: dict[str, str] | None = None):
     """mapInPandas kernel: frontier batch in → response rows out.
 
     ``passthrough`` columns (e.g. job_id/cost/url_hash) are copied onto
     the output so downstream stages don't need a re-join.
+    ``sessions``: host → login session token (per-job cookie-jar
+    analogue); shipped via closure — it holds only CREDENTIALED hosts
+    (reference domain_login table), which is a tiny config dimension,
+    not O(#hosts crawled).
     """
+    sessions = sessions or {}
+
     def _batches(it):
         for pdf in it:
-            rows = [fetch_one(cfg, u) for u in pdf["url"]]
+            rows = []
+            for u in pdf["url"]:
+                hm = _HOST_RE.match(u)
+                tok = sessions.get(hm.group(1)) if hm else None
+                rows.append(fetch_one(cfg, u, tok))
             out = pd.DataFrame(rows)
-            out["status_code"] = out["status_code"].astype("int32")
+            # nullable Int32: exception rows carry status_code = NULL
+            out["status_code"] = out["status_code"].astype("Int32")
             out["latency_ms"] = out["latency_ms"].astype("int32")
             for c in passthrough:
                 out[c] = pdf[c].values

@@ -129,3 +129,51 @@ def test_synthetic_web_bodies_parse_back_to_links():
         ] if page_kind(cfg, host, page) == "html" else logical
         assert r["links"] == expect, (host, page)
     assert "sitemap" in kinds_seen and "atom" in kinds_seen
+
+
+# ---------------------------------------------------------------------------
+# F10 charset detection (reference extractor.py:200-204 semantics)
+# ---------------------------------------------------------------------------
+
+def test_latin1_page_links_extract_correctly():
+    from starbelly_spark.functions.extract import extract_links
+
+    html = ('<html><body>caf\xe9 <a href="http://h.test/a">x</a>'
+            '</body></html>').encode("latin-1")
+    links = extract_links("http://h.test/", "text/html; charset=latin-1", html)
+    assert links == ["http://h.test/a"]
+
+
+def test_meta_charset_detection():
+    from starbelly_spark.functions.extract import decode_body, detect_charset
+
+    body = ('<html><head><meta charset="iso-8859-1"></head>'
+            '<body>\xfcber</body></html>').encode("latin-1")
+    assert detect_charset(body) == "iso-8859-1"
+    assert "über" in decode_body(body)
+
+
+def test_bom_beats_declared_charset():
+    from starbelly_spark.functions.extract import detect_charset
+
+    body = "﻿<html>ß</html>".encode("utf-8")
+    assert detect_charset(body, "text/html; charset=latin-1") == "utf-8-sig"
+    body16 = "<html>ß</html>".encode("utf-16")  # LE BOM on this platform
+    assert detect_charset(body16).startswith("utf-16")
+
+
+def test_utf8_validates_latin1_falls_back():
+    from starbelly_spark.functions.extract import detect_charset
+
+    assert detect_charset("héllo".encode("utf-8")) == "utf-8"
+    assert detect_charset("héllo".encode("latin-1")) == "latin-1"
+    # unknown charset label is ignored, utf-8 still wins
+    assert detect_charset(b"plain", "text/html; charset=bogus-enc") == "utf-8"
+
+
+def test_utf16_html_links_extract():
+    from starbelly_spark.functions.extract import extract_links
+
+    html = '<html><a href="/page2">x</a></html>'.encode("utf-16")
+    links = extract_links("http://h.test/", "text/html", html)
+    assert links == ["http://h.test/page2"]

@@ -128,14 +128,46 @@ def test_with_login_flag(spark):
 
 
 def test_large_budget_topk_matches_small_path(spark):
-    """The distributed large-k path must select exactly the same rows
-    as the TakeOrdered path."""
-    from starbelly_spark.operators.frontier import _global_topk_large
+    """The distributed large-k path (global_rank) must select exactly
+    the same rows, with exactly the total-order ranks, as TakeOrdered +
+    a local sort."""
+    from starbelly_spark.operators.frontier import (
+        drain_pending_unpersist,
+        global_rank,
+    )
 
     rows = [(f"http://h{i%9}.t/{i}", float(i % 13), False) for i in range(3000)]
     fr = _frontier(spark, rows).withColumn("_tb", F.col("url_hash_hex"))
-    small = {r.url for r in fr.orderBy("cost", "_tb").limit(1000).collect()}
-    large = {r.url for r in _global_topk_large(fr, 1000).collect()}
-    assert small == large and len(large) == 1000
-    # budget >= total keeps everything
-    assert _global_topk_large(fr, 10**6).count() == 3000
+    small = [r.url for r in fr.orderBy("cost", "_tb").limit(1000).collect()]
+    ranked, total = global_rank(fr, ["cost", "_tb"], "_grank")
+    assert total == 3000
+    got = ranked.where(F.col("_grank") <= 1000).orderBy("_grank").collect()
+    assert [r.url for r in got] == small
+    assert [r["_grank"] for r in got] == list(range(1, 1001))
+    drain_pending_unpersist()
+
+
+def test_pop_rank_is_sequence_order(spark):
+    """with_rank: the pop rank must equal the (cost, tie) position on
+    BOTH physical paths (small TakeOrdered / large distributed)."""
+    from starbelly_spark.operators.frontier import (
+        POP_RANK,
+        drain_pending_unpersist,
+    )
+
+    rows = [(f"http://h{i%7}.t/{i}", float(i % 5), False) for i in range(800)]
+    fr = _frontier(spark, rows)
+    want = [
+        r.url
+        for r in fr.withColumn("_tb", F.col("url_hash_hex"))
+        .orderBy("cost", "_tb").limit(300).collect()
+    ]
+    small = pop_batch(fr, 300, per_host_k=10**6, with_rank=True)
+    got_small = small.orderBy(POP_RANK).collect()
+    assert [r.url for r in got_small] == want
+    assert [r[POP_RANK] for r in got_small] == list(range(1, 301))
+    # large path: force it by dropping the budget threshold via big k
+    large = pop_batch(fr, 60_000, per_host_k=10**6, with_rank=True)
+    got_large = large.orderBy(POP_RANK).limit(300).collect()
+    assert [r.url for r in got_large] == want
+    drain_pending_unpersist()

@@ -1,0 +1,68 @@
+"""Domain-login flow semantics (reference ``starbelly/login.py``):
+one login per credentialed domain per job, established BEFORE that
+domain's first fetch; the per-job session (cookie-jar analogue) is
+consumed by the fetch kernel; mirrored by the simulator."""
+
+from pyspark.sql import functions as F
+
+from starbelly_spark.crawl import CrawlSettings, run_crawl, start_job
+from starbelly_spark.policy import Limits, Policy, UrlRule
+from starbelly_spark.simulator import simulate_crawl
+from starbelly_spark.sources.synthetic_web import WebConfig, session_token
+from starbelly_spark.tableio import JobStore
+
+WEB = WebConfig(n_hosts=4, total_pages=40, branching=2, seed=42)
+POLICY = Policy(url_rules=(UrlRule("ADD", 1.0),), limits=Limits(max_cost=4.0))
+SETTINGS = CrawlSettings(budget=6, per_host_k=1, global_delay=1.0,
+                         compact_every=4, seen_partitions=4,
+                         bloom_bits=1 << 13, cuckoo_buckets=1 << 8)
+LOGINS = [("h1.example", "user1", "hunter2")]
+
+
+def test_login_sessions_and_equivalence(spark, tmp_path):
+    root = str(tmp_path / "lg")
+    start_job(spark, root, "jobL", WEB.seeds(2), POLICY, WEB, SETTINGS,
+              domain_logins=LOGINS)
+    m = run_crawl(spark, root, "jobL", max_batches=200)
+    assert m["run_state"] == "completed"
+
+    # exactly one session per credentialed host, deterministic token
+    assert m["sessions"] == {
+        "h1.example": session_token("jobL", "h1.example")
+    }
+
+    store = JobStore(spark, root, "jobL")
+    res = store.table(m, "results")
+    rows = res.select("url", "authenticated", "session_token").collect()
+    assert rows
+    for r in rows:
+        if r.url.startswith("http://h1.example/"):
+            assert r.authenticated
+            assert r.session_token == m["sessions"]["h1.example"]
+        else:
+            assert not r.authenticated and r.session_token is None
+    # credentialed host actually got fetched (the flow triggered)
+    assert any(r.url.startswith("http://h1.example/") for r in rows)
+
+    # simulator equivalence including the authenticated flags
+    sim = simulate_crawl(
+        WEB.seeds(2), POLICY, WEB,
+        budget=SETTINGS.budget, per_host_k=SETTINGS.per_host_k,
+        global_delay=SETTINGS.global_delay,
+        domain_logins=[h for h, _, _ in LOGINS], job_id="jobL",
+    )
+    got = [(r.url, r.authenticated, r.session_token)
+           for r in res.orderBy("sequence").collect()]
+    want = [(r["url"], r["authenticated"], r["session_token"])
+            for r in sim.results]
+    assert got == want
+
+
+def test_no_logins_all_unauthenticated(spark, tmp_path):
+    root = str(tmp_path / "nl")
+    start_job(spark, root, "jobN", WEB.seeds(1), POLICY, WEB, SETTINGS)
+    m = run_crawl(spark, root, "jobN", max_batches=5)
+    store = JobStore(spark, root, "jobN")
+    res = store.table(m, "results")
+    assert res.where(F.col("authenticated")).count() == 0
+    assert m.get("sessions") == {}

@@ -59,12 +59,15 @@ def test_obey_specific_ua_group(links, rules):
     assert "http://c.test/x" not in _kept(links, rules, OBEY, ua="special-bot")
 
 
-def test_invert_flips_only_hosts_with_rules(links, rules):
+def test_invert_negates_decision_unconditionally(links, rules):
+    """Reference robots.py:90-92: INVERT = `not robots_decision` — a
+    permissive answer (incl. missing robots) inverts to denied."""
     kept = _kept(links, rules, INVERT)
     assert "http://a.test/private/x" in kept       # was denied → kept
     assert "http://b.test/anything" in kept
     assert "http://a.test/page" not in kept        # was allowed → dropped
-    assert "http://norobots.test/x" in kept        # no rules → still kept
+    assert "http://norobots.test/x" not in kept    # permissive → dropped
+    assert "http://c.test/x" not in kept           # other-UA group → permissive
 
 
 def test_ignore_keeps_everything(links, rules):
