@@ -503,6 +503,39 @@ def q_ann_lsh_topk(spark, sf_dir):
 MIN_RECALL = 0.9
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (bounded driver-side centroid training, cell-pruned
+    probe).  Output = the EXACT cosine top-k (fully oracled) plus a
+    recall gate: the IVF probe must recover ≥ MIN_RECALL of it."""
+    from starbelly_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    q = _fixed_query_vec()
+    exact = cosine_topk(embeddings, q, k=10)
+    # n_probe is high because the SYNTHETIC embeddings are isotropic
+    # gaussians with no cluster structure (recall ≈ probed fraction);
+    # real corpora cluster, so production n_probe is far lower.  The
+    # gate pins the train→assign→prune→re-rank machinery.
+    cents = train_centroids(embeddings, n_centroids=16)
+    ivf_ids = {
+        r["vec_id"] for r in ivf_topk(embeddings, q, cents, k=10,
+                                      n_probe=12).collect()
+    }
+    exact_ids = [r["vec_id"] for r in exact.collect()]
+    recall = (
+        sum(1 for i in exact_ids if i in ivf_ids) / len(exact_ids)
+        if exact_ids else 1.0
+    )
+    return exact.select(
+        "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.lit(bool(recall >= MIN_RECALL)).alias("recall_ok"),
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from starbelly_spark.operators.dedup import (
         exact_jaccard_pairs,
@@ -637,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_exact": q_dedup_embedding_cosine_exact,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_winnow": q_text_winnow,
@@ -950,6 +984,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, 'text' AS mime_type,
                    lower(p_brand) AS mime_subtype
             FROM part
+        """,
+        "ann_ivf_topk": f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                [{qv}]::DOUBLE[]), 6) AS cosine,
+                   true AS recall_ok
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "dedup_minhash_lsh": _exact_jaccard_sql(shingle_n=3, threshold=0.5),
         "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8),

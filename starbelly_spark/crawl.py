@@ -158,6 +158,7 @@ def _policy_to_doc(policy: Policy) -> dict:
             "obey_crawl_delay": policy.robots.obey_crawl_delay,
         },
         "user_agents": [{"name": policy.user_agent}],
+        "captcha_solver_id": policy.captcha_solver_id,
     }
 
 
@@ -185,6 +186,7 @@ def start_job(
     settings: CrawlSettings = CrawlSettings(),
     rate_limits: list[tuple[str, float]] | None = None,
     domain_logins: list[tuple[str, str, str]] | None = None,
+    captcha_solvers: list[dict] | None = None,
 ) -> JobStore:
     """Create the job: seeds → frontier at cost 0, seen-set seeded with
     seed hashes (reference job.py:332-340, db.py:217-233)."""
@@ -212,6 +214,8 @@ def start_job(
     # domain_login dimension (reference db.py:477-487) + the per-job
     # login-session state it feeds (login.py semantics, simulated)
     m["domain_logins"] = [list(t) for t in (domain_logins or [])]
+    # captcha_solver dimension (reference captcha.py + db.py:325-337)
+    m["captcha_solvers"] = list(captcha_solvers or [])
     m["sessions"] = {}
     m["seed_domains"] = sorted({r.host for r in seeds_df.select("host").collect()})
     t = m["tables"]
@@ -338,16 +342,35 @@ def run_batch(store: JobStore, m: dict) -> dict:
     sessions: dict[str, str] = dict(m.get("sessions") or {})
     login_hosts = sorted({t[0] for t in (m.get("domain_logins") or [])})
     if login_hosts:
+        # captcha solver for login forms (reference login.py uses the
+        # policy's solver; db.py:325-337 joins it in).  The "image" and
+        # the solve are deterministic stand-ins — the command shape is
+        # the real antigate format (captcha.py).
+        solver = None
+        if policy.captcha_solver_id:
+            from .captcha import CaptchaSolver
+
+            docs = {d["id"]: d for d in (m.get("captcha_solvers") or [])}
+            if policy.captcha_solver_id in docs:
+                solver = CaptchaSolver.from_doc(docs[policy.captcha_solver_id])
         logins_df = spark.createDataFrame(
             [(h,) for h in login_hosts], "host string"
         )
         flagged = with_login_flag(
             popped.select("host").distinct(), logins_df
         )
+        n_solved = 0
         for r in flagged.where(F.col("needs_login")).collect():
             if r["host"] not in sessions:
+                if solver is not None:
+                    img = f"captcha|{r['host']}|{job_id}".encode()
+                    solver.solve_deterministic(img)
+                    n_solved += 1
                 sessions[r["host"]] = session_token(job_id, r["host"])
         nm["sessions"] = sessions
+        if n_solved:
+            c0 = nm["counters"]
+            c0["captcha_solved"] = c0.get("captcha_solved", 0) + n_solved
 
     # ---- FETCH (vectorized Arrow UDF) ------------------------------------
     fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",

@@ -85,6 +85,9 @@ class Policy:
     robots: RobotsPolicy = field(default_factory=RobotsPolicy)
     normalization: Normalization = field(default_factory=Normalization)
     user_agent: str = "starbelly-spark/0.1"
+    # reference policies reference a captcha_solver by id; the solver
+    # doc is joined in at job start (db.py:325-337) — see captcha.py
+    captcha_solver_id: str | None = None
 
     @staticmethod
     def from_doc(doc: dict) -> "Policy":
@@ -127,6 +130,7 @@ class Policy:
                 strip_parameters=tuple(norm.get("strip_parameters", ())),
             ),
             user_agent=(doc.get("user_agents") or [{"name": "starbelly-spark/0.1"}])[0]["name"],
+            captcha_solver_id=doc.get("captcha_solver_id"),
         )
 
 

@@ -63,3 +63,63 @@ def test_text_exprs_are_jvm_side(spark, sf_dir):
     df = entrymod.q_text_lang_id(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_decision_is_projection_not_window(spark):
+    """Round-2 plan shape: the robots decision must be a broadcast
+    rule-array join + higher-order filter projection — NO Window (the
+    old per-(link × rule) window sort was the lineage-stage hotspot)."""
+    from starbelly_spark.policy import Policy
+    from starbelly_spark.robots import apply_robots
+
+    rules = spark.createDataFrame(
+        [("a.test", "*", "/x", False, None)],
+        "host string, user_agent string, path_prefix string, "
+        "allow boolean, crawl_delay double",
+    )
+    links = spark.createDataFrame(
+        [("http://a.test/x/1", "a.test"), ("http://a.test/y", "a.test")],
+        "url string, host string",
+    )
+    df = apply_robots(links, rules, Policy())
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert [r.url for r in df.collect()] == ["http://a.test/y"]
+
+
+def test_first_parent_dedup_is_partial_hash_agg(spark):
+    """Round-2 plan shape: first-parent dedup is min(struct) with
+    MAP-SIDE partial aggregation (pre-shuffle combine), not a window
+    sort."""
+    from pyspark.sql import functions as F
+
+    links = spark.createDataFrame(
+        [("u1", 1, 0, "h", b"\x01", 1.0), ("u1", 2, 0, "h", b"\x01", 2.0),
+         ("u2", 1, 1, "h", b"\x02", 1.0)],
+        "url string, parent_seq long, pos int, host string, "
+        "url_hash binary, cost double",
+    )
+    dedup = (
+        links.groupBy("url")
+        .agg(F.min(F.struct("parent_seq", "pos", "host", "url_hash",
+                            "cost")).alias("_first"))
+        .select("url", "_first.cost")
+    )
+    plan = formatted_plan(dedup)
+    assert "partial_min" in plan and "Window" not in plan
+    got = {r.url: r.cost for r in dedup.collect()}
+    assert got == {"u1": 1.0, "u2": 1.0}
+
+
+def test_exact_jaccard_pairs_is_jvm_side(spark):
+    """The recall-gate ground truth must stay out of Python: shingle
+    explode + equi-join + hash agg, all JVM."""
+    from starbelly_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    df = exact_jaccard_pairs(docs, 0.1, shingle_n=2)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
