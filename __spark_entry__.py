@@ -551,6 +551,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                       "recall_ok")
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Standalone exact n-gram-Jaccard near-dup (task brief): the
+    pure-JVM shingle-join operator, directly oracled (no UDF, no
+    gate)."""
+    from starbelly_spark.operators.dedup import exact_jaccard_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    out = exact_jaccard_pairs(documents, threshold=0.7, shingle_n=2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from starbelly_spark.operators.dedup import (
         exact_jaccard_pairs,
@@ -672,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_winnow": q_text_winnow,
         "f13_header_flatten": q_f13_header_flatten,
@@ -703,7 +715,8 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, {expr_lang} AS lang_guess FROM documents"
 
 
-def _exact_jaccard_sql(shingle_n: int, threshold: float) -> str:
+def _exact_jaccard_sql(shingle_n: int, threshold: float,
+                       with_gate: bool = True) -> str:
     """DuckDB mirror of operators.dedup.exact_jaccard_pairs +
     recall_gated_pairs output (the gate column is literal true: a
     Spark-side recall regression flips it and fails the hash)."""
@@ -733,8 +746,8 @@ def _exact_jaccard_sql(shingle_n: int, threshold: float) -> str:
           GROUP BY 1, 2, 3, 4
         )
         SELECT id_a, id_b,
-               round(i::DOUBLE / (na + nb - i), 6) AS jaccard,
-               true AS recall_ok
+               round(i::DOUBLE / (na + nb - i), 6) AS jaccard
+               {", true AS recall_ok" if with_gate else ""}
         FROM inter WHERE i::DOUBLE / (na + nb - i) >= {threshold}
     """
 
@@ -995,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _exact_jaccard_sql(shingle_n=3, threshold=0.5),
         "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8),
+        "dedup_ngram_jaccard": _exact_jaccard_sql(
+            shingle_n=2, threshold=0.7, with_gate=False
+        ),
         "text_winnow": _exact_jaccard_sql(shingle_n=3, threshold=0.9),
         "dedup_embedding_cosine_lsh": f"""
             WITH b AS (

@@ -80,6 +80,63 @@ def sync_after(results: DataFrame, cursor: int) -> DataFrame:
     return results.where(F.col("sequence") > cursor).orderBy("sequence")
 
 
+def streaming_first_seen(
+    urls: DataFrame,
+    n_groups: int = 8,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the Python-streaming form of the crawl's URL-seen set): emit each
+    URL the FIRST time it appears across the whole stream, dropping
+    every later occurrence — per-group state is the set of seen
+    16-byte url_hashes, carried across micro-batches by the state
+    store.
+
+    Input stream columns: (url string, url_hash binary).  Groups are
+    hash partitions of url_hash (same routing as seen.partition_col),
+    so state per group stays bounded and the operator scales by adding
+    shuffle partitions.  At 10^10 URLs each group's blob becomes a
+    bloom/cuckoo segment exactly like seen.py — the plumbing (grouped
+    state, Arrow batches, update semantics) is what this operator
+    pins.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.BinaryType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.BinaryType())])
+
+    def _first_seen(key, pdfs, state):
+        blob = state.get[0] if state.exists else b""
+        seen = {blob[i:i + 16] for i in range(0, len(blob or b""), 16)}
+        for pdf in pdfs:
+            keep_rows, keep_urls = [], []
+            for u, h in zip(pdf["url"], pdf["url_hash"]):
+                hb = bytes(h)
+                if hb not in seen:
+                    seen.add(hb)
+                    keep_urls.append(u)
+                    keep_rows.append(hb)
+            if keep_rows:
+                yield pd.DataFrame({"url": keep_urls, "url_hash": keep_rows})
+        state.update((b"".join(sorted(seen)),))
+
+    grouped = urls.withColumn(
+        "_g", F.pmod(F.xxhash64("url_hash"), F.lit(n_groups))
+    ).groupBy("_g")
+    return grouped.applyInPandasWithState(
+        _first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag + cumulative gap count (batch form of
     session_window) — per-user sessions with bounded gap."""

@@ -67,3 +67,44 @@ def test_sessionize(spark):
     out = {r.event_id: r.session_id for r in sessionize(df, 30).collect()}
     assert out[1] == out[2] != out[3]
     assert out[4] == 1
+
+
+def test_streaming_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState: the seen-set as a custom stateful
+    streaming operator — a URL emitted in micro-batch 1 must be
+    suppressed when it reappears in micro-batch 2 (state survives
+    across triggers via the state store)."""
+    import hashlib
+
+    from starbelly_spark.streaming.events import streaming_first_seen
+
+    def h(u):
+        return hashlib.blake2b(u.encode(), digest_size=16).digest()
+
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    batch1 = [("http://a/1", h("http://a/1")), ("http://a/2", h("http://a/2")),
+              ("http://a/2", h("http://a/2"))]              # in-batch dup
+    batch2 = [("http://a/2", h("http://a/2")),              # cross-batch dup
+              ("http://a/3", h("http://a/3"))]
+    spark.createDataFrame(batch1, "url string, url_hash binary") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, "url string, url_hash binary") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("url string, url_hash binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_first_seen(stream, n_groups=4)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.url for r in spark.sql("SELECT * FROM first_seen").collect())
+    assert got == ["http://a/1", "http://a/2", "http://a/3"]
