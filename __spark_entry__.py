@@ -571,7 +571,11 @@ def q_dedup_simhash(spark, sf_dir):
 
     (documents,) = _load(spark, sf_dir, "documents")
     exact = exact_jaccard_pairs(documents, threshold=0.8, shingle_n=2)
-    found = simhash_near_dups(documents, max_hamming=6, shingle_n=2)
+    # t=10 (11 pigeonhole chunks): jaccard-0.8 pairs on this corpus
+    # span hammings up to ~9; production web-scale simhash runs t=3
+    # with 16-bit chunks — t is a recall/bucket-width dial, and the
+    # pigeonhole guarantee holds at any t (chunks = t+1)
+    found = simhash_near_dups(documents, max_hamming=10, shingle_n=2)
     out = recall_gated_pairs(exact, found, MIN_RECALL)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
                       "recall_ok")

@@ -92,9 +92,9 @@ def make_minhash_udf(k: int = 64, shingle_n: int = 3, seed: int = 42):
             if not sh:
                 out.append([0] * k)
                 continue
-            # stable 64-bit shingle hashes (numpy vectorized)
+            # stable 61-bit shingle hashes (crc32-composed, C-speed)
             hs = np.fromiter(
-                (np.uint64(hash_shingle(s)) for s in sh),
+                (hash_shingle(s) for s in sh),
                 dtype=np.uint64, count=len(sh),
             )
             # (a*x + b) mod p, min over shingles, for all k at once
@@ -106,12 +106,20 @@ def make_minhash_udf(k: int = 64, shingle_n: int = 3, seed: int = 42):
 
 
 def hash_shingle(s: str) -> int:
-    """Deterministic 61-bit shingle hash (FNV-1a folded)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % _MERSENNE
+    """Deterministic 61-bit shingle hash.
+
+    Two salted crc32s (C-speed) composed into 64 bits then folded mod
+    the Mersenne prime — ~50× faster than the round-1 pure-Python
+    FNV-1a loop, which dominated the minhash/simhash pandas UDFs.
+    Hash VALUES changed with this: safe because signatures are never
+    value-compared anywhere — dedup correctness is pinned by the
+    recall gates against exact Jaccard, not by signature bytes."""
+    import zlib
+
+    b = s.encode()
+    return (
+        (zlib.crc32(b) << 32) ^ zlib.crc32(b, 0x9E3779B9)
+    ) % _MERSENNE
 
 
 def minhash_lsh_candidates(
@@ -319,10 +327,10 @@ def make_simhash_udf(shingle_n: int = 2):
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for j in range(64):
-                if v[j] > 0:
-                    val |= 1 << j
+            val = int(
+                ((v > 0).astype(np.uint64)
+                 << np.arange(64, dtype=np.uint64)).sum()
+            )
             out[i] = val - (1 << 64) if val >= (1 << 63) else val
         return pd.Series(out)
 
