@@ -217,7 +217,11 @@ def start_job(
     # captcha_solver dimension (reference captcha.py + db.py:325-337)
     m["captcha_solvers"] = list(captcha_solvers or [])
     m["sessions"] = {}
-    m["seed_domains"] = sorted({r.host for r in seeds_df.select("host").collect()})
+    seed_hosts = [r.host for r in seeds_df.select("host").collect()]
+    m["seed_domains"] = sorted(set(seed_hosts))
+    # exact pending-frontier row count, maintained incrementally each
+    # batch (+new links −popped) — gives pop_batch a free size hint
+    m["frontier_size"] = len(seed_hosts)
     t = m["tables"]
     t["frontier_base"] = [store.write_dir("frontier_base", 0, seeds_df)]
     # the seeds are also the initial seen set (job.py:332-340) — same
@@ -320,7 +324,8 @@ def run_batch(store: JobStore, m: dict) -> dict:
 
     eligible = eligible_hosts(hosts, politeness, clock, bcast_ok)
     popped = pop_batch(
-        frontier, budget, settings.per_host_k, eligible, with_rank=True
+        frontier, budget, settings.per_host_k, eligible, with_rank=True,
+        size_hint=m.get("frontier_size"),
     )
     # sequence assignment (reference's monotonic counter, storage
     # sequence order = (cost, url_hash_hex)): the pop rank IS that
@@ -666,6 +671,10 @@ def run_batch(store: JobStore, m: dict) -> dict:
         c["http_status_counts"][k] = c["http_status_counts"].get(k, 0) + v
     nm["sequence"] = seq0 + n_popped
     nm["clock"] = clock_end
+    if "frontier_size" in m:
+        nm["frontier_size"] = max(
+            0, int(m["frontier_size"]) - n_popped + n_new
+        )
     store.commit(nm)
 
     for df in (frontier, hosts, popped, fetched, results_out, new_urls):

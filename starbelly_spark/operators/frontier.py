@@ -55,6 +55,7 @@ def pop_batch(
     per_host_k: int = 1,
     eligible_hosts: DataFrame | None = None,
     with_rank: bool = False,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Pop the next micro-batch off the frontier.
 
@@ -82,11 +83,62 @@ def pop_batch(
     tb = tie_break_col(df).alias("_tb")
     df = df.withColumn("_tb", tb)
 
+    return _pop_ranked(df, budget, per_host_k, with_rank, size_hint)
+
+
+# Rows-to-shuffle multiplier for the cost-cutoff pre-filter.  The
+# host-rank window otherwise shuffles the ENTIRE pending frontier
+# every batch — at 10^10 pending URLs with a 300k budget that is a
+# ~30,000× overshuffle.  The pre-filter keeps ~slack×budget of the
+# cheapest rows (an approxQuantile cut: scan-only, no shuffle) and is
+# EXACT: if the per-host-capped survivors of the filtered set still
+# fill the budget, every dropped row (cost strictly above the cut)
+# ranks after all of them, so the result is identical; if they don't
+# (pathological skew ate the cheap rows), we fall back to the full
+# window.  Either path is a pure function of table state.
+PREFILTER_SLACK = 4.0
+PREFILTER_MIN_ROWS = 200_000
+# Engage only when the pending frontier dwarfs the target: the count +
+# approxQuantile passes cost real per-batch seconds, so below this
+# frontier/target ratio the straight window is FASTER (measured: at
+# ratio ~3 the pre-filter cost local[8] ~10s/batch and tanked scaling
+# efficiency 0.81→0.51; at ratio 10^4+ — the 10^10-URL regime — the
+# avoided shuffle dominates by orders of magnitude).
+PREFILTER_RATIO = 8
+
+
+def _host_capped(df: DataFrame, per_host_k: int) -> DataFrame:
     host_w = Window.partitionBy("job_id", "host").orderBy("cost", "_tb")
-    df = df.withColumn("_host_rn", F.row_number().over(host_w)).where(
+    return df.withColumn("_host_rn", F.row_number().over(host_w)).where(
         F.col("_host_rn") <= per_host_k
     )
 
+
+def _pop_ranked(df: DataFrame, budget: int, per_host_k: int,
+                with_rank: bool, size_hint: int | None = None) -> DataFrame:
+    target = int(PREFILTER_SLACK * budget)
+    floor = max(PREFILTER_RATIO * target, PREFILTER_MIN_ROWS)
+    if target >= PREFILTER_MIN_ROWS or budget > 50_000:
+        # size_hint (the crawl manifest's incrementally-maintained
+        # pending count) makes the common small-ratio decision FREE —
+        # no count job at all on the fast path
+        n_est = size_hint if size_hint is not None else df.count()
+        if n_est > floor:
+            n = df.count()   # exact post-eligibility size for the cut
+            if n > floor:
+                (cut,) = df.stat.approxQuantile(
+                    "cost", [target / n], 0.001
+                )
+                narrowed = df.where(F.col("cost") <= cut).persist()
+                survivors = _host_capped(narrowed, per_host_k).persist()
+                _PENDING_UNPERSIST.extend([narrowed, survivors])
+                if survivors.count() >= budget:
+                    return _budget_cut(survivors, budget, with_rank)
+                # skew pathology: cheap rows were host-capped away —
+                # exact fallback to the unfiltered window
+    return _budget_cut(_host_capped(df, per_host_k), budget, with_rank)
+
+def _budget_cut(df: DataFrame, budget: int, with_rank: bool) -> DataFrame:
     # global budget: top-`budget` by (cost, tie) — identical semantics
     # to rank() ≤ budget.  Physical strategy by k:
     #  * small k → orderBy+limit = TakeOrderedAndProject (per-partition

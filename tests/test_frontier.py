@@ -171,3 +171,41 @@ def test_pop_rank_is_sequence_order(spark):
     got_large = large.orderBy(POP_RANK).limit(300).collect()
     assert [r.url for r in got_large] == want
     drain_pending_unpersist()
+
+
+def test_pop_prefilter_exact_and_fallback(spark, monkeypatch):
+    """The cost-cutoff pre-filter must never change WHICH rows pop or
+    their ranks — including the pathological-skew fallback where the
+    cheap rows all sit on one per-host-capped host."""
+    import starbelly_spark.operators.frontier as fr
+
+    def pop_urls(frontier, budget, k):
+        out = pop_batch(frontier, budget, per_host_k=k, with_rank=True)
+        got = out.orderBy(fr.POP_RANK).collect()
+        fr.drain_pending_unpersist()
+        return [(r.url, r[fr.POP_RANK]) for r in got]
+
+    # normal shape: many hosts, smooth costs
+    rows = [(f"http://h{i % 40}.t/{i}", float(i % 97), False)
+            for i in range(4000)]
+    frontier = _frontier(spark, rows)
+    monkeypatch.setattr(fr, "PREFILTER_MIN_ROWS", 10)
+    fast = pop_urls(frontier, 60, 5)
+    monkeypatch.setattr(fr, "PREFILTER_MIN_ROWS", 10**12)  # disable
+    slow = pop_urls(frontier, 60, 5)
+    assert fast == slow and len(fast) == 60
+
+    # skew pathology: ALL cheap rows on one host, per_host_k=1 → the
+    # filtered survivor set can't fill the budget → exact fallback
+    rows = ([(f"http://hot.t/{i}", 0.0 + i * 1e-6, False)
+             for i in range(3000)]
+            + [(f"http://h{i % 20}.t/x{i}", 1000.0 + i, False)
+               for i in range(1000)])
+    frontier = _frontier(spark, rows)
+    monkeypatch.setattr(fr, "PREFILTER_MIN_ROWS", 10)
+    fast = pop_urls(frontier, 21, 1)
+    monkeypatch.setattr(fr, "PREFILTER_MIN_ROWS", 10**12)
+    slow = pop_urls(frontier, 21, 1)
+    assert fast == slow and len(fast) == 21
+    # 1 from the hot host + 20 cold hosts
+    assert sum(1 for u, _ in fast if u.startswith("http://hot")) == 1
