@@ -501,6 +501,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 # regression flips every row → value-hash mismatch → red.
 
 MIN_RECALL = 0.9
+# precision side of the gate: the approximate operator may emit at
+# most this many × |exact| distinct pairs (both operators currently
+# sit at ratio 1.0 on the sf corpora — 8× headroom, explosion fails)
+MAX_CAND_RATIO = 8.0
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -576,9 +580,13 @@ def q_dedup_simhash(spark, sf_dir):
     # with 16-bit chunks — t is a recall/bucket-width dial, and the
     # pigeonhole guarantee holds at any t (chunks = t+1)
     found = simhash_near_dups(documents, max_hamming=10, shingle_n=2)
-    out = recall_gated_pairs(exact, found, MIN_RECALL)
+    # cand_ok closes the r2 verdict's one-sided-gate blind spot: a
+    # false-positive explosion (found ≫ exact) flips it via the same
+    # value-hash mechanism a recall regression flips recall_ok
+    out = recall_gated_pairs(exact, found, MIN_RECALL,
+                             max_candidate_ratio=MAX_CAND_RATIO)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
-                      "recall_ok")
+                      "recall_ok", "cand_ok")
 
 
 def q_text_winnow(spark, sf_dir):
@@ -591,9 +599,10 @@ def q_text_winnow(spark, sf_dir):
     (documents,) = _load(spark, sf_dir, "documents")
     exact = exact_jaccard_pairs(documents, threshold=0.9, shingle_n=3)
     found = winnow_pairs(documents)
-    out = recall_gated_pairs(exact, found, MIN_RECALL)
+    out = recall_gated_pairs(exact, found, MIN_RECALL,
+                             max_candidate_ratio=MAX_CAND_RATIO)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
-                      "recall_ok")
+                      "recall_ok", "cand_ok")
 
 
 def q_f13_header_flatten(spark, sf_dir):
@@ -720,10 +729,12 @@ def _lang_id_sql() -> str:
 
 
 def _exact_jaccard_sql(shingle_n: int, threshold: float,
-                       with_gate: bool = True) -> str:
+                       with_gate: bool = True,
+                       with_cand: bool = False) -> str:
     """DuckDB mirror of operators.dedup.exact_jaccard_pairs +
-    recall_gated_pairs output (the gate column is literal true: a
-    Spark-side recall regression flips it and fails the hash)."""
+    recall_gated_pairs output (the gate columns are literal true: a
+    Spark-side recall regression or candidate explosion flips them
+    and fails the hash)."""
     concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(shingle_n))
     return rf"""
         WITH toks AS (
@@ -752,6 +763,7 @@ def _exact_jaccard_sql(shingle_n: int, threshold: float,
         SELECT id_a, id_b,
                round(i::DOUBLE / (na + nb - i), 6) AS jaccard
                {", true AS recall_ok" if with_gate else ""}
+               {", true AS cand_ok" if with_cand else ""}
         FROM inter WHERE i::DOUBLE / (na + nb - i) >= {threshold}
     """
 
@@ -1011,11 +1023,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "dedup_minhash_lsh": _exact_jaccard_sql(shingle_n=3, threshold=0.5),
-        "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8),
+        "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8,
+                                            with_cand=True),
         "dedup_ngram_jaccard": _exact_jaccard_sql(
             shingle_n=2, threshold=0.7, with_gate=False
         ),
-        "text_winnow": _exact_jaccard_sql(shingle_n=3, threshold=0.9),
+        "text_winnow": _exact_jaccard_sql(shingle_n=3, threshold=0.9,
+                                          with_cand=True),
         "dedup_embedding_cosine_lsh": f"""
             WITH b AS (
               SELECT vec_id, embedding, {_bucket_sql(6)} AS bucket

@@ -13,9 +13,10 @@ DataFrame program per micro-batch (SURVEY.md §7.0):
    cost rules + gate, robots broadcast-join, within-batch first-parent
    dedup, bloom/cuckoo prefilter + exact anti-join (seen.split_new_urls).
 4. **COMMIT** — append results/metrics/lineage/seen, frontier
-   add+tombstone, politeness + filter segments snapshots, ONE manifest
-   (tableio.JobStore) — crash anywhere → next run resumes from the
-   last committed batch, exactly.
+   add+tombstone, politeness + filter-segment LOG appends (latest-wins
+   on read, compacted on cadence), ONE manifest (tableio.JobStore) —
+   crash anywhere → next run resumes from the last committed batch,
+   exactly.
 
 Time is a deterministic simulated clock: every fetch in a batch starts
 at the batch clock and completes at ``clock + latency``; the next
@@ -58,13 +59,15 @@ from .policy import (
     cost_expr,
     cost_gate_expr,
     mime_save_expr,
+    proxy_expr,
     scheme_filter_expr,
 )
 from .politeness import (
-    POLITENESS_SCHEMA,
+    POLITENESS_LOG_SCHEMA,
     eligible_hosts,
+    latest_politeness,
     maybe_broadcast,
-    update_politeness,
+    politeness_updates,
 )
 from .robots import apply_robots, crawl_delays, synthetic_robots_rules
 from .seen import (
@@ -93,7 +96,7 @@ RESULTS_SCHEMA = (
     "is_success boolean, is_saved boolean, started_at double, "
     "completed_at double, duration double, body_id binary, body binary, "
     "image_id string, caption string, phash long, w int, h int, fmt string, "
-    "authenticated boolean, session_token string"
+    "authenticated boolean, session_token string, proxy_url string"
 )
 METRICS_SCHEMA = (
     "job_id string, batch_id long, urls_popped long, urls_fetched long, "
@@ -159,6 +162,20 @@ def _policy_to_doc(policy: Policy) -> dict:
         },
         "user_agents": [{"name": policy.user_agent}],
         "captcha_solver_id": policy.captcha_solver_id,
+        # terminal rule must omit pattern/match keys (from_doc rejects
+        # them, mirroring reference policy.py:471-475)
+        "proxy_rules": [
+            {
+                k: v
+                for k, v in (
+                    ("proxy_url", r.proxy_url),
+                    ("pattern", r.pattern),
+                    ("match", r.match if r.pattern is not None else None),
+                )
+                if v is not None
+            }
+            for r in policy.proxy_rules
+        ],
     }
 
 
@@ -287,10 +304,14 @@ def run_batch(store: JobStore, m: dict) -> dict:
 
     frontier = store.frontier(m).cache()
 
-    politeness = store.table(m, "politeness", POLITENESS_SCHEMA)
-    # metadata-only parquet count → gate the politeness broadcasts
-    # (What's-wrong #3: at 10^8 hosts a broadcast would OOM the driver)
-    bcast_ok = politeness.count() <= settings.broadcast_hosts_max
+    # politeness is a LOG (merge-on-read, like seen_segments): each
+    # batch appended only its fetched hosts; resolve latest-wins here
+    pol_log = store.table(m, "politeness", POLITENESS_LOG_SCHEMA)
+    politeness = latest_politeness(pol_log)
+    # metadata-only parquet count of the log → gate the politeness
+    # broadcasts (What's-wrong r1#3: at 10^8 hosts a broadcast would
+    # OOM the driver).  Log rows ≥ distinct hosts, so conservative.
+    bcast_ok = pol_log.count() <= settings.broadcast_hosts_max
     # persisted: the distinct-host set feeds BOTH the clock agg and the
     # eligibility semi-join in pop — one shuffle, not two
     hosts = frontier.select("host").distinct().persist()
@@ -378,11 +399,17 @@ def run_batch(store: JobStore, m: dict) -> dict:
             c0["captcha_solved"] = c0.get("captcha_solved", 0) + n_solved
 
     # ---- FETCH (vectorized Arrow UDF) ------------------------------------
+    # proxy routing (reference policy.py:501-521 + downloader.py:266):
+    # a first-match when/rlike chain stamps each popped URL with the
+    # proxy the fetch routes through — JVM-side, consumed by the fetch
+    # kernel per row the way sessions are
     fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",
                                                  "url_hash_hex", "sequence"),
                                sessions=sessions)
-    fetched = popped.select(
-        "url", "cost", "url_hash", "url_hash_hex", "sequence"
+    fetched = popped.withColumn(
+        "proxy_url", proxy_expr(policy, F.col("url"))["proxy_url"]
+    ).select(
+        "url", "cost", "url_hash", "url_hash_hex", "sequence", "proxy_url"
     ).mapInPandas(
         fetch,
         schema=fetch_schema_with(
@@ -432,7 +459,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
         "sequence", "job_id", "url", "cost", "status_code", "content_type",
         "headers", "is_success", "is_saved", "started_at", "completed_at",
         "duration", "body_id", "body", "image_id", "caption", "phash",
-        "w", "h", "fmt", "authenticated", "session_token",
+        "w", "h", "fmt", "authenticated", "session_token", "proxy_url",
     ).cache()
 
     # ---- EXTRACT / DEDUP ---------------------------------------------------
@@ -520,12 +547,14 @@ def run_batch(store: JobStore, m: dict) -> dict:
         spark.createDataFrame(rl, "host string, delay double") if rl else None
     )
     cds = crawl_delays(robots_rules) if policy.robots.obey_crawl_delay else None
-    new_politeness = update_politeness(
-        store.table(m, "politeness", POLITENESS_SCHEMA),
+    # merge-on-read: ONLY this batch's fetched hosts — O(hosts touched)
+    # rows appended to the politeness log, never an O(#hosts) rewrite
+    # (the r2 verdict's last full-state per-batch write, now gone)
+    pol_update = politeness_updates(
         completions, rate_limits_df, cds,
         global_delay=settings.global_delay,
         obey_crawl_delay=policy.robots.obey_crawl_delay,
-    )
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
 
     # ---- METRICS / LINEAGE (two collect actions total per batch) ----------
     # one combined agg gives counters + status map + links_discovered +
@@ -626,7 +655,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
         "frontier_add": ("frontier_add", salted, None),
         "frontier_del": ("frontier_del", popped.select("url_hash"), 1),
         "seen_segments": ("seen_segments", new_segments, None),
-        "politeness": ("politeness", new_politeness, 1),
+        "politeness": ("politeness", pol_update, 1),
         "metrics": ("metrics", metrics, 1),
         "lineage": ("lineage", lineage, 1),
     }
@@ -643,10 +672,11 @@ def run_batch(store: JobStore, m: dict) -> dict:
                 "metrics", "lineage", "seen_segments"):
         t.setdefault(key, []).append(rels[key])
     t.setdefault("seen_exact", []).append(rels["frontier_add"])
-    t["politeness"] = [rels["politeness"]]
+    t.setdefault("politeness", []).append(rels["politeness"])
 
-    # log compaction (merge-on-read → rewrite base): frontier AND the
-    # seen-segments log (resolve latest once, drop superseded versions)
+    # log compaction (merge-on-read → rewrite base): frontier, the
+    # seen-segments log AND the politeness log (resolve latest once,
+    # drop superseded versions)
     if batch_id % settings.compact_every == 0:
         compacted = store.frontier(nm)
         t["frontier_base"] = [
@@ -659,6 +689,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         t["seen_segments"] = [
             store.write_dir("seen_segments_base", batch_id, seg_latest)
+        ]
+        pol_latest = latest_politeness(
+            store.table(nm, "politeness", POLITENESS_LOG_SCHEMA)
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        t["politeness"] = [
+            store.write_dir("politeness_base", batch_id, pol_latest, 1)
         ]
         _mark("compaction")
 

@@ -138,26 +138,60 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     return out
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def winnow_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: winnow_fingerprints(t or ""))
+def make_winnow_udf(k: int = 5, window: int = 4):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: winnow_fingerprints(t or "", k=k, window=window)
+        )
+
+    return _winnow
 
 
-def winnow_pairs(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Near-dup candidate pairs = docs sharing ≥1 winnowing fingerprint
-    (MOSS-style).  Scale shape: explode fingerprints → equi-join on
-    fingerprint (bucket join, never all-pairs)."""
+winnow_udf = make_winnow_udf()
+
+
+def winnow_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 25, window: int = 4, min_overlap: float = 0.5):
+    """Near-dup pairs by winnowing fingerprints (MOSS-style).
+
+    Two stages, both bucket-shaped (never all-pairs):
+
+    1. candidates = docs sharing ≥1 winnowed fingerprint (explode →
+       equi-join on fingerprint);
+    2. verify = MOSS similarity ``|shared| / min(|fp_a|, |fp_b|)`` ≥
+       ``min_overlap`` via a map-side-combining count agg.
+
+    Stage 2 plus a document-dedup-sized noise threshold ``k`` are the
+    precision dials (Schleimer et al. 2003 §3: matches shorter than k
+    chars are noise and must not vote).  At the kernel default k=5 —
+    one word — every shared word pairs documents: measured 124,739
+    candidate pairs for 25 true near-dups on the sf0.01 corpus; at
+    k=25 with the overlap verify, found = exact = 25 with recall 1.0.
+    Near-identical docs share almost all fingerprints, so recall at
+    jaccard ≈ 0.9 is unaffected (pinned by the recall-gated driver
+    entry and its new cand_ok precision gate)."""
     fps = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(winnow_udf(F.col(text_col))).alias("_fp"),
+        F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("_fp"),
     ).distinct()
-    left = fps.select(F.col("_id").alias("id_a"), "_fp")
-    right = fps.select(F.col("_id").alias("id_b"), "_fp")
-    return (
+    sizes = fps.groupBy("_id").agg(F.count("*").alias("_n"))
+    fps = fps.join(sizes, "_id")
+    left = fps.select(F.col("_id").alias("id_a"),
+                      F.col("_n").alias("_na"), "_fp")
+    right = fps.select(F.col("_id").alias("id_b"),
+                       F.col("_n").alias("_nb"), "_fp")
+    shared = (
         left.join(right, "_fp")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count("*").alias("_shared"))
+    )
+    return (
+        shared.where(
+            F.col("_shared") >= F.lit(min_overlap) * F.least("_na", "_nb")
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

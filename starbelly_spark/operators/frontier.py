@@ -122,9 +122,12 @@ def _pop_ranked(df: DataFrame, budget: int, per_host_k: int,
         # size_hint (the crawl manifest's incrementally-maintained
         # pending count) makes the common small-ratio decision FREE —
         # no count job at all on the fast path
+        # size_hint is a pre-eligibility estimate; the count (only on
+        # the engage path) is the exact post-eligibility size for the
+        # cut.  A hintless call reuses its own exact count — one scan.
         n_est = size_hint if size_hint is not None else df.count()
         if n_est > floor:
-            n = df.count()   # exact post-eligibility size for the cut
+            n = df.count() if size_hint is not None else n_est
             if n > floor:
                 (cut,) = df.stat.approxQuantile(
                     "cost", [target / n], 0.001

@@ -58,6 +58,57 @@ class MimeRule:
     match: str = MATCHES
 
 
+PROXY_SCHEMES = ("http", "https", "socks4", "socks4a", "socks5")
+
+
+@dataclass(frozen=True)
+class ProxyRule:
+    """One proxy-routing rule (``starbelly/policy.py:394-521``,
+    pinned by ``tests/test_policy.py:412-453``): non-terminal rules
+    require pattern + match + proxy_url; the terminal rule may carry
+    only an (optional) proxy_url."""
+    proxy_url: str | None = None
+    pattern: str | None = None       # None → terminal
+    match: str = MATCHES
+
+    @property
+    def proxy_type(self) -> str | None:
+        if self.proxy_url is None:
+            return None
+        return self.proxy_url.split("://", 1)[0]
+
+
+def validate_proxy_rules(rules: tuple[ProxyRule, ...]) -> tuple[ProxyRule, ...]:
+    """Reference validation semantics (policy.py:437-499): raises
+    ValueError exactly where the reference raises
+    PolicyValidationError."""
+    last = len(rules) - 1
+    for i, r in enumerate(rules):
+        loc = f"proxy rule #{i + 1}"
+        if i < last:
+            if not (r.pattern or "").strip():
+                raise ValueError(f"Pattern is required ({loc})")
+            try:
+                re.compile(r.pattern)
+            except re.error:
+                raise ValueError(f"Invalid regular expression ({loc})")
+            if r.match not in (MATCHES, DOES_NOT_MATCH):
+                raise ValueError(f"Match selector is required ({loc})")
+            if not r.proxy_url:
+                raise ValueError(f"Proxy URL is required ({loc})")
+        else:
+            # terminal rule may not carry pattern/match (an explicit
+            # non-default match is detectable; default MATCHES is not)
+            if r.pattern is not None or r.match != MATCHES:
+                raise ValueError("Pattern is not allowed (last proxy rule)")
+        if r.proxy_url is not None and r.proxy_type not in PROXY_SCHEMES:
+            raise ValueError(
+                "Must have a valid URL with one of the following schemes: "
+                + ", ".join(PROXY_SCHEMES) + f" ({loc})"
+            )
+    return rules
+
+
 @dataclass(frozen=True)
 class Limits:
     max_cost: float | None = None
@@ -88,6 +139,9 @@ class Policy:
     # reference policies reference a captcha_solver by id; the solver
     # doc is joined in at job start (db.py:325-337) — see captcha.py
     captcha_solver_id: str | None = None
+    # first-match proxy routing (policy.py:394-521); default = the
+    # reference's "never proxy" single terminal rule
+    proxy_rules: tuple[ProxyRule, ...] = (ProxyRule(),)
 
     @staticmethod
     def from_doc(doc: dict) -> "Policy":
@@ -110,6 +164,20 @@ class Policy:
             )
             for r in doc.get("mime_type_rules", [{"save": True}])
         )
+        proxy_docs = doc.get("proxy_rules", [{}])
+        last_doc = proxy_docs[-1] if proxy_docs else {}
+        if "pattern" in last_doc or "match" in last_doc:
+            # doc-level detection of an explicit (even default-valued)
+            # match/pattern on the terminal rule (policy.py:471-475)
+            raise ValueError("Pattern is not allowed (last proxy rule)")
+        proxy_rules = validate_proxy_rules(tuple(
+            ProxyRule(
+                proxy_url=r.get("proxy_url"),
+                pattern=r.get("pattern"),
+                match=r.get("match", MATCHES),
+            )
+            for r in proxy_docs
+        ))
         lim = doc.get("limits", {})
         rob = doc.get("robots_txt", {})
         norm = doc.get("url_normalization", {})
@@ -131,6 +199,7 @@ class Policy:
             ),
             user_agent=(doc.get("user_agents") or [{"name": "starbelly-spark/0.1"}])[0]["name"],
             captcha_solver_id=doc.get("captcha_solver_id"),
+            proxy_rules=proxy_rules,
         )
 
 
@@ -199,6 +268,34 @@ def mime_save_expr(policy: Policy, content_type_col: Column) -> Column:
         )
     assert expr is not None
     return base & expr
+
+
+def proxy_expr(policy: Policy, url_col: Column) -> Column:
+    """Data-plane half of the reference's proxy routing
+    (``starbelly/policy.py:501-521`` ``get_proxy_url``): a first-match
+    when/rlike chain producing a ``struct(proxy_type, proxy_url)``
+    column.  ``rlike`` is unanchored search, exactly the reference's
+    ``pattern.search(target_url)``; selection fires when
+    ``has_match == needs_match``.  The fetch kernel consumes
+    ``proxy_url`` per row the way it consumes sessions — JVM-side
+    expression, no Python in the chain."""
+    rules = validate_proxy_rules(policy.proxy_rules)
+
+    def _val(r: ProxyRule) -> Column:
+        return F.struct(
+            F.lit(r.proxy_type).cast("string").alias("proxy_type"),
+            F.lit(r.proxy_url).cast("string").alias("proxy_url"),
+        )
+
+    terminal = rules[-1]
+    # terminal: proxy_url if set, else (None, None) — policy.py:517-519
+    expr = _val(terminal)
+    for rule in reversed(rules[:-1]):
+        cond = url_col.rlike(rule.pattern)
+        if rule.match == DOES_NOT_MATCH:
+            cond = ~cond
+        expr = F.when(cond, _val(rule)).otherwise(expr)
+    return expr
 
 
 def scheme_filter_expr(url_col: Column) -> Column:

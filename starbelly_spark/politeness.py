@@ -14,11 +14,16 @@ Precedence chosen here (documented deterministic choice):
 ``per-host rate limit > robots crawl-delay (if policy obeys) >
 global default``.
 
-Spark-first shape: politeness is a tiny state table
-``(host, delay, next_allowed_ts)`` — O(#hosts), always broadcastable —
-joined against the frontier's hosts each micro-batch.  Time is a
-simulated deterministic clock (double seconds) so crawl order is a
-pure function of state, identical at any parallelism level.
+Spark-first shape: politeness is a **log-structured** state table —
+each micro-batch appends ONLY the hosts it fetched
+``(host, delay, next_allowed_ts, batch_id)``; reads resolve
+latest-wins per host with a map-side-combining ``max(struct)`` agg and
+the crawl loop compacts the log to a base on its existing cadence
+(exactly the ``seen_segments`` merge-on-read pattern).  At 10^8 hosts
+a batch therefore writes O(hosts-fetched-this-batch) rows, never a
+full O(#hosts) snapshot rewrite.  Time is a simulated deterministic
+clock (double seconds) so crawl order is a pure function of state,
+identical at any parallelism level.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 POLITENESS_SCHEMA = "host string, delay double, next_allowed_ts double"
+POLITENESS_LOG_SCHEMA = POLITENESS_SCHEMA + ", batch_id long"
 DEFAULT_GLOBAL_DELAY = 5.0
 
 
@@ -73,23 +79,29 @@ def eligible_hosts(
     )
 
 
-def update_politeness(
-    politeness: DataFrame,
+def politeness_updates(
     completions: DataFrame,
     rate_limits: DataFrame | None,
     crawl_delays: DataFrame | None,
     global_delay: float = DEFAULT_GLOBAL_DELAY,
     obey_crawl_delay: bool = True,
 ) -> DataFrame:
-    """Fold a batch's fetch completions into the politeness state.
+    """This batch's politeness rows — ONLY the hosts fetched this batch.
+
+    Because merging is last-writer-wins (the new row fully replaces
+    the old one), the update rows are independent of prior state: no
+    read of the existing table, no O(#hosts) rewrite.  The crawl loop
+    appends these to the politeness LOG with a ``batch_id`` column and
+    ``latest_politeness`` resolves on read.
 
     ``completions``: (host, completion_ts) — one row per fetched URL;
     the max completion per host wins (delay measured from completion,
-    the reference's 'reset' semantics).
+    the reference's 'reset' semantics,
+    ``/root/reference/starbelly/rate_limiter.py:188-196``).
     ``rate_limits``: optional (host, delay) per-host overrides.
     ``crawl_delays``: optional (host, crawl_delay) from robots.
     """
-    spark = politeness.sparkSession
+    spark = completions.sparkSession
     per_host = completions.groupBy("host").agg(
         F.max("completion_ts").alias("completion_ts")
     )
@@ -104,7 +116,7 @@ def update_politeness(
         else spark.createDataFrame([], "host string, crawl_delay double")
     )
     delay = effective_delay_col(global_delay, obey_crawl_delay)
-    updates = (
+    return (
         per_host.join(F.broadcast(rl), "host", "left")
         .join(F.broadcast(cd), "host", "left")
         .select(
@@ -113,12 +125,49 @@ def update_politeness(
             (F.col("completion_ts") + delay).alias("next_allowed_ts"),
         )
     )
-    # LAST-writer-wins per host: a host fetched this batch takes its
-    # whole row (delay + next_allowed_ts together) from the update —
-    # so a rate limit LOWERED mid-crawl (reference supports live
-    # rate_limit changefeeds, db.py:1117, per-domain-supersedes
-    # rate_limiter.py:287-291) takes effect next batch.  max()-merging
-    # would pin the stale higher delay forever and could mix delay and
-    # next_allowed_ts from different rows.
+
+
+def latest_politeness(log: DataFrame) -> DataFrame:
+    """Resolve the politeness log to current state: latest batch wins
+    per host.  ``max(struct(batch_id, ...))`` is a hash aggregate with
+    MAP-SIDE partial aggregation (each task pre-collapses its hosts
+    before the shuffle) — no window, no sort, exactly the
+    ``seen.latest_segments`` shape."""
+    return (
+        log.groupBy("host")
+        .agg(F.max(F.struct("batch_id", "delay", "next_allowed_ts"))
+             .alias("_v"))
+        .select(
+            "host",
+            F.col("_v.delay").alias("delay"),
+            F.col("_v.next_allowed_ts").alias("next_allowed_ts"),
+        )
+    )
+
+
+def update_politeness(
+    politeness: DataFrame,
+    completions: DataFrame,
+    rate_limits: DataFrame | None,
+    crawl_delays: DataFrame | None,
+    global_delay: float = DEFAULT_GLOBAL_DELAY,
+    obey_crawl_delay: bool = True,
+) -> DataFrame:
+    """Fold a batch's fetch completions into a RESOLVED politeness
+    state (test/API convenience over ``politeness_updates``; the crawl
+    loop itself appends the updates to the log instead).
+
+    LAST-writer-wins per host: a host fetched this batch takes its
+    whole row (delay + next_allowed_ts together) from the update —
+    so a rate limit LOWERED mid-crawl (reference supports live
+    rate_limit changefeeds, db.py:1117, per-domain-supersedes
+    rate_limiter.py:287-291) takes effect next batch.  max()-merging
+    would pin the stale higher delay forever and could mix delay and
+    next_allowed_ts from different rows.
+    """
+    updates = politeness_updates(
+        completions, rate_limits, crawl_delays, global_delay,
+        obey_crawl_delay,
+    )
     untouched = politeness.join(updates.select("host"), "host", "left_anti")
     return untouched.unionByName(updates)

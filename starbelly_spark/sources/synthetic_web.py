@@ -248,7 +248,7 @@ FETCH_SCHEMA = (
     "url string, status_code int, content_type string, body binary, "
     "links array<string>, latency_ms int, image_id string, caption string, "
     "phash long, w int, h int, fmt string, authenticated boolean, "
-    "session_token string"
+    "session_token string, proxy_url string"
 )
 
 _HOST_RE = re.compile(r"^https?://([^/]+)")
@@ -278,6 +278,14 @@ def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = (),
             # nullable Int32: exception rows carry status_code = NULL
             out["status_code"] = out["status_code"].astype("Int32")
             out["latency_ms"] = out["latency_ms"].astype("int32")
+            # per-row proxy routing (reference downloader.py:266 asks
+            # the policy for each request's proxy): the popped batch
+            # arrives pre-stamped by policy.proxy_expr; the kernel
+            # records the route it fetched through
+            out["proxy_url"] = (
+                pdf["proxy_url"].values if "proxy_url" in pdf.columns
+                else None
+            )
             for c in passthrough:
                 out[c] = pdf[c].values
             yield out

@@ -11,12 +11,13 @@ implements the same *contract* over plain Parquet + JSON manifests:
   next run resumes from the last committed manifest, unreferenced dirs
   are invisible (exactly Iceberg's snapshot isolation story);
 * tables are either **append** (results, metrics, seen_exact — state =
-  union of all committed dirs) or **snapshot** (politeness,
-  seen_segments — state = latest dir), and the frontier is
-  **log-structured**: base + per-batch appends − per-batch tombstones,
-  compacted every ``compact_every`` batches.  This is merge-on-read,
-  Iceberg-style: a batch writes O(new links + popped rows), never a
-  full frontier rewrite — the property that matters at 10^10 rows.
+  union of all committed dirs) or **log-structured** (frontier:
+  base + per-batch appends − per-batch tombstones; politeness and
+  seen_segments: per-batch update rows tagged ``batch_id``, latest
+  wins on read), compacted every ``compact_every`` batches.  This is
+  merge-on-read, Iceberg-style: a batch writes O(new links + popped
+  rows + hosts fetched), never a full state rewrite — the property
+  that matters at 10^10 rows / 10^8 hosts.
 
 On a real cluster, swap ``JobStore`` for Iceberg ``MERGE INTO`` /
 snapshot commits; every caller goes through this seam
@@ -39,7 +40,7 @@ FRONTIER_SCHEMA = (
 SEEN_EXACT_SCHEMA = "url_hash binary"
 
 APPEND_TABLES = ("results", "metrics", "lineage", "seen_exact")
-SNAPSHOT_TABLES = ("politeness", "seen_segments")
+LOG_TABLES = ("frontier", "politeness", "seen_segments")
 
 
 class JobStore:

@@ -148,3 +148,39 @@ def test_crash_between_data_and_manifest_is_invisible(spark, tmp_path):
     m2 = store.latest_manifest()
     assert m2["batch_id"] == m1["batch_id"]
     assert orphan not in m2["tables"].get("results", [])
+
+
+def test_proxy_rules_routed_through_fetch(spark, tmp_path):
+    """Data-plane proxy routing (reference policy.py:501-521 +
+    downloader.py:266): every fetched row carries the proxy_url the
+    first-match chain selects for its URL."""
+    from starbelly_spark.policy import ProxyRule
+
+    pol = Policy(
+        url_rules=(UrlRule("ADD", 1.0),),
+        limits=Limits(max_cost=3.0),
+        proxy_rules=(
+            ProxyRule(proxy_url="socks5://tor:9050", pattern=r"^http://h0\."),
+            ProxyRule(proxy_url="http://cache:3128", pattern=r"/p[13]$"),
+            ProxyRule(),
+        ),
+    )
+    root = str(tmp_path / "proxy")
+    store = start_job(spark, root, "jp", SMALL_WEB.seeds(2), pol,
+                      SMALL_WEB, SETTINGS)
+    m = run_crawl(spark, root, "jp", max_batches=30)
+    rows = store.table(m, "results").select("url", "proxy_url").collect()
+    assert len(rows) > 5
+    import re as _re
+
+    for r in rows:
+        if _re.match(r"^http://h0\.", r.url):
+            want = "socks5://tor:9050"
+        elif _re.search(r"/p[13]$", r.url):
+            want = "http://cache:3128"
+        else:
+            want = None
+        assert r.proxy_url == want, (r.url, r.proxy_url, want)
+    # proxied and unproxied rows both occurred
+    got = {r.proxy_url for r in rows}
+    assert "socks5://tor:9050" in got and None in got

@@ -112,3 +112,63 @@ def test_zero_budget_rejected(spark, tmp_path):
     start_job(spark, root, "j", WEB.seeds(1), _policy(), WEB, bad)
     with pytest.raises(ValueError):
         run_crawl(spark, root, "j", max_batches=1)
+
+
+def test_politeness_log_writes_only_touched_hosts(spark, tmp_path):
+    """Merge-on-read politeness (r2 verdict #2): a batch appends
+    O(hosts-fetched-this-batch) rows to the politeness LOG — never a
+    full O(#hosts) snapshot rewrite — and compaction collapses the log
+    to one latest-wins base dir."""
+    from starbelly_spark.politeness import (
+        POLITENESS_LOG_SCHEMA,
+        latest_politeness,
+    )
+    from starbelly_spark.tableio import JobStore
+
+    web = WebConfig(n_hosts=8, total_pages=64, branching=3, seed=7)
+    # budget 2, per_host_k 1 → ≤2 hosts fetched per batch while 8 exist
+    settings = CrawlSettings(budget=2, per_host_k=1, global_delay=0.25,
+                             compact_every=100, seen_partitions=4,
+                             bloom_bits=1 << 13, cuckoo_buckets=1 << 8)
+    root = str(tmp_path / "pl")
+    start_job(spark, root, "j", web.seeds(6), _policy(), web, settings)
+    run_crawl(spark, root, "j", max_batches=6)
+    store = JobStore(spark, root, "j")
+    m = store.latest_manifest()
+    rels = m["tables"]["politeness"]
+    assert len(rels) >= 4, "log-structured: one appended dir per batch"
+    per_dir = [
+        store.read_dirs([r], POLITENESS_LOG_SCHEMA).collect() for r in rels
+    ]
+    for rows in per_dir:
+        # O(hosts touched): bounded by the batch budget, not #hosts
+        assert 0 < len(rows) <= settings.budget
+        hosts = [r.host for r in rows]
+        assert len(hosts) == len(set(hosts))
+    resolved = latest_politeness(
+        store.table(m, "politeness", POLITENESS_LOG_SCHEMA)
+    ).collect()
+    n_hosts_total = len({r.host for r in resolved})
+    assert n_hosts_total > settings.budget, \
+        "crawl touched more hosts than any one batch wrote"
+    # latest-wins: the resolved row per host is the row from the
+    # highest batch_id that touched it
+    best = {}
+    for rows in per_dir:
+        for r in rows:
+            if r.host not in best or r.batch_id > best[r.host].batch_id:
+                best[r.host] = r
+    got = {r.host: (r.delay, r.next_allowed_ts) for r in resolved}
+    want = {h: (r.delay, r.next_allowed_ts) for h, r in best.items()}
+    assert got == want
+
+    # compaction collapses the log to ONE base dir, same resolved state
+    from starbelly_spark.crawl import run_batch
+    settings2 = CrawlSettings(**{**m["settings"], "compact_every": 1})
+    m["settings"] = settings2.__dict__ | {}
+    m2 = run_batch(store, m)
+    assert len(m2["tables"]["politeness"]) == 1
+    resolved2 = latest_politeness(
+        store.table(m2, "politeness", POLITENESS_LOG_SCHEMA)
+    ).collect()
+    assert {r.host for r in resolved2} >= {r.host for r in resolved}

@@ -164,3 +164,105 @@ def test_policy_from_doc_roundtrip():
     assert p.url_rules[0].action == "ADD" and p.url_rules[1].amount == 0.0
     assert p.normalization.strip_parameters == ("PHPSESSID",)
     assert p.user_agent == "test-agent/1.0"
+
+
+# ---- proxy rules (reference policy.py:394-521, tests/test_policy.py:
+# 412-453 semantics) ---------------------------------------------------------
+
+def _proxy_for(spark, policy, url):
+    from starbelly_spark.policy import proxy_expr
+
+    row = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(proxy_expr(policy, F.col("url")).alias("p"))
+        .collect()[0]["p"]
+    )
+    return (row["proxy_type"], row["proxy_url"])
+
+
+def test_proxy_never(spark):
+    from starbelly_spark.policy import Policy, ProxyRule
+
+    pol = Policy(proxy_rules=(ProxyRule(),))
+    assert _proxy_for(spark, pol, "https://foo.com/index.html") == (None, None)
+
+
+def test_proxy_always(spark):
+    from starbelly_spark.policy import Policy, ProxyRule
+
+    pol = Policy(proxy_rules=(ProxyRule(proxy_url="socks5://squid:3128"),))
+    assert _proxy_for(spark, pol, "https://foo.com/index.html") == (
+        "socks5", "socks5://squid:3128"
+    )
+
+
+def test_proxy_conditional_first_match(spark):
+    from starbelly_spark.policy import Policy, ProxyRule
+
+    pol = Policy(proxy_rules=(
+        ProxyRule(proxy_url="socks5://tor:9050", pattern=r"\.onion"),
+        ProxyRule(),
+    ))
+    assert _proxy_for(spark, pol, "https://foo.onion/index.html") == (
+        "socks5", "socks5://tor:9050"
+    )
+    assert _proxy_for(spark, pol, "https://foo.com/index.html") == (None, None)
+
+
+def test_proxy_does_not_match_and_chain_order(spark):
+    from starbelly_spark.policy import Policy, ProxyRule
+
+    pol = Policy(proxy_rules=(
+        ProxyRule(proxy_url="http://a:1", pattern=r"\.example",
+                  match="DOES_NOT_MATCH"),
+        ProxyRule(proxy_url="socks4://b:2", pattern=r"/p1$"),
+        ProxyRule(proxy_url="https://fallback:3"),
+    ))
+    # rule 1 fires (no .example)
+    assert _proxy_for(spark, pol, "http://x.test/p1") == ("http", "http://a:1")
+    # rule 1 skipped, rule 2 fires
+    assert _proxy_for(spark, pol, "http://h0.example/p1") == (
+        "socks4", "socks4://b:2"
+    )
+    # terminal with proxy_url always applies
+    assert _proxy_for(spark, pol, "http://h0.example/p2") == (
+        "https", "https://fallback:3"
+    )
+
+
+def test_proxy_validation_mirrors_reference():
+    import pytest as _pytest
+
+    from starbelly_spark.policy import Policy, ProxyRule, validate_proxy_rules
+
+    # terminal may not carry pattern/match (test_policy.py:421-431)
+    with _pytest.raises(ValueError):
+        validate_proxy_rules((ProxyRule(pattern="[a-z]+"),))
+    with _pytest.raises(ValueError):
+        Policy.from_doc({"proxy_rules": [{"match": "MATCHES"}]})
+    # non-terminal requires pattern + proxy_url (test_policy.py:455-461)
+    with _pytest.raises(ValueError):
+        validate_proxy_rules((ProxyRule(proxy_url="http://a:1"), ProxyRule()))
+    with _pytest.raises(ValueError):
+        validate_proxy_rules((
+            ProxyRule(pattern="x", match="MATCHES"), ProxyRule(),
+        ))
+    # invalid regex / invalid scheme
+    with _pytest.raises(ValueError):
+        validate_proxy_rules((
+            ProxyRule(proxy_url="http://a:1", pattern="^text/("),
+            ProxyRule(),
+        ))
+    with _pytest.raises(ValueError):
+        validate_proxy_rules((ProxyRule(proxy_url="gopher://a:1"),))
+
+
+def test_proxy_doc_roundtrip():
+    from starbelly_spark.crawl import _doc_to_policy, _policy_to_doc
+    from starbelly_spark.policy import Policy, ProxyRule
+
+    pol = Policy(proxy_rules=(
+        ProxyRule(proxy_url="socks5://tor:9050", pattern=r"\.onion"),
+        ProxyRule(),
+    ))
+    assert _doc_to_policy(_policy_to_doc(pol)).proxy_rules == pol.proxy_rules

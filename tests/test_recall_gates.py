@@ -115,3 +115,63 @@ def test_winnow_pairs_find_near_dups(spark):
     fp5 = set(winnow_fingerprints(DOCS[4][1]))
     assert not (fp1 & fp5)
     assert not any({a, b} == {1, 5} for a, b in got)
+
+
+def test_candidate_gate_flips_on_explosion(spark):
+    """r3: the precision side of the gate — found ≫ exact flips
+    cand_ok while recall_ok stays true (superset recall is 1.0)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = exact_jaccard_pairs(df, threshold=0.9, shingle_n=3)
+    ids = df.select(F.col("doc_id").alias("id_a"))
+    explosion = (
+        ids.crossJoin(df.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    out = recall_gated_pairs(exact, explosion, 0.9,
+                             max_candidate_ratio=8.0).collect()
+    assert out and all(r.recall_ok for r in out)
+    assert not any(r.cand_ok for r in out)
+    ok = recall_gated_pairs(exact, exact, 0.9,
+                            max_candidate_ratio=8.0).collect()
+    assert all(r.cand_ok and r.recall_ok for r in ok)
+
+
+def test_winnow_overlap_verify_rejects_common_phrase(spark):
+    """The MOSS overlap verify: one shared phrase in otherwise
+    unrelated docs is NOT a near-dup pair (pre-r3 it was — measured
+    124,739 candidates for 25 true pairs on sf0.01)."""
+    docs = [
+        (1, "the quarterly report shows strong growth in all regions "
+            "and the board approved the new budget for next year"),
+        (2, "the quarterly report shows strong growth in all regions "
+            "and the board approved the new budget for next season"),
+        (3, "completely different content about gardening tips here "
+            "but it mentions the quarterly report shows strong growth "
+            "in passing among many other unrelated topics and words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in winnow_pairs(df).collect()}
+    assert (1, 2) in got          # near-identical → found
+    assert (1, 3) not in got      # shared phrase only → rejected
+    assert (2, 3) not in got
+
+
+def test_stop_shingle_cap_bounds_degenerate_join(spark):
+    """r3: exact_jaccard_pairs with max_shingle_df drops hot shingles
+    (every doc shares one phrase) instead of a quadratic join blow-up;
+    true near-dup pairs survive via their non-hot shingles."""
+    common = "lorem ipsum dolor sit amet"
+    docs = [(i, f"{common} unique{i} text{i} body{i} words{i}")
+            for i in range(1, 40)]
+    docs += [(100, f"{common} twin alpha beta gamma"),
+             (101, f"{common} twin alpha beta gamma")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # sizes count pre-drop shingles, so kept pairs' jaccard is
+    # underestimated (twins: 4 surviving shared / 7+7-4 = 0.4)
+    capped = exact_jaccard_pairs(df, threshold=0.35, shingle_n=3,
+                                 max_shingle_df=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    # the hot common-prefix shingles may no longer create pairs among
+    # the 39 otherwise-unrelated docs
+    assert not any(a < 100 and b < 100 for a, b in got)
