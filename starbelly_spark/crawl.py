@@ -366,7 +366,8 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # hosts get a deterministic session recorded in the manifest, and
     # the fetch kernel consumes the session map.
     sessions: dict[str, str] = dict(m.get("sessions") or {})
-    login_hosts = sorted({t[0] for t in (m.get("domain_logins") or [])})
+    creds = {t[0]: (t[1], t[2]) for t in (m.get("domain_logins") or [])}
+    login_hosts = sorted(creds)
     if login_hosts:
         # captcha solver for login forms (reference login.py uses the
         # policy's solver; db.py:325-337 joins it in).  The "image" and
@@ -385,15 +386,34 @@ def run_batch(store: JobStore, m: dict) -> dict:
         flagged = with_login_flag(
             popped.select("host").distinct(), logins_df
         )
+        # Form-classification login flow (reference login.py:185-233):
+        # fetch the host's login page, classify its forms, pick the
+        # login form + username/password(/captcha) fields, substitute
+        # the stored credentials, POST → session.  Driver-side loop is
+        # bounded by #credentialed-hosts-in-batch (config dimension).
+        from .login import build_login_request
+        from .sources.synthetic_web import login_page
+
         n_solved = 0
+        login_actions: dict[str, str] = dict(m.get("login_actions") or {})
         for r in flagged.where(F.col("needs_login")).collect():
-            if r["host"] not in sessions:
-                if solver is not None:
-                    img = f"captcha|{r['host']}|{job_id}".encode()
-                    solver.solve_deterministic(img)
-                    n_solved += 1
-                sessions[r["host"]] = session_token(job_id, r["host"])
+            host = r["host"]
+            if host in sessions:
+                continue
+            user, pw = creds[host]
+            page_url = f"http://{host}/login"
+            html = login_page(web, host, with_captcha=solver is not None)
+            action, method, fields = build_login_request(
+                page_url, html, user, pw, solver=solver,
+            )
+            assert method == "POST" and fields["username"] == user
+            if solver is not None and fields.get("captcha_answer"):
+                n_solved += 1
+            # the simulated POST: deterministic session establishment
+            login_actions[host] = action
+            sessions[host] = session_token(job_id, host)
         nm["sessions"] = sessions
+        nm["login_actions"] = login_actions
         if n_solved:
             c0 = nm["counters"]
             c0["captcha_solved"] = c0.get("captcha_solved", 0) + n_solved

@@ -91,7 +91,66 @@ def detect_charset(body: bytes, content_type: str | None = None) -> str:
         body.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        return _statistical_charset(body)
+
+
+# Undeclared non-UTF-8 fallback (the reference runs chardet here,
+# extractor.py:200-204): score a small set of common legacy encodings
+# by how much of the decoded text lands in a coherent script block,
+# instead of silently producing latin-1 mojibake.  Deterministic: pure
+# function of the first 8 KB, fixed candidate order breaks ties.
+_FALLBACK_ENCODINGS = ("shift_jis", "euc_jp", "koi8_r", "cp1251", "latin-1")
+
+
+def _char_class(o: int) -> str:
+    if o in (9, 10, 13) or 32 <= o < 127:
+        return "ascii"
+    if 0x3040 <= o <= 0x30FF or 0x4E00 <= o <= 0x9FFF \
+            or 0xFF01 <= o <= 0xFF9F or o in (0x3001, 0x3002):
+        return "cjk"                          # kana / CJK / fullwidth
+    if 0x0400 <= o <= 0x04FF:
+        return "cyr"
+    if 0xC0 <= o <= 0xFF or o in (0xA9, 0xAB, 0xBB):
+        return "lat1"                         # latin-1 letters/quotes
+    return "junk"  # C1 controls, replacement chars, stray symbols
+
+
+def _script_score(text: str) -> float:
+    """Fraction of characters that look like real text.  ASCII
+    printables score full weight; CJK/cyrillic chars score full weight
+    only in RUNS of ≥2 (real text in those scripts comes in runs —
+    an isolated CJK char flanked by ASCII is the mojibake signature
+    of decoding a stray latin-1 byte as a multibyte lead); latin-1
+    extended letters get partial weight (plausible, but also what
+    mojibake looks like)."""
+    if not text:
+        return 0.0
+    classes = [_char_class(ord(ch)) for ch in text]
+    score = 0.0
+    for i, c in enumerate(classes):
+        if c == "ascii":
+            score += 1.0
+        elif c in ("cjk", "cyr"):
+            in_run = (i > 0 and classes[i - 1] == c) or \
+                     (i + 1 < len(classes) and classes[i + 1] == c)
+            score += 1.0 if in_run else 0.3
+        elif c == "lat1":
+            score += 0.45
+    return score / len(text)
+
+
+def _statistical_charset(body: bytes) -> str:
+    sample = body[:8192]
+    best, best_score = "latin-1", -1.0
+    for enc in _FALLBACK_ENCODINGS:
+        try:
+            text = sample.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        s = _script_score(text)
+        if s > best_score + 1e-9:
+            best, best_score = enc, s
+    return best
 
 
 def decode_body(body: bytes | str, content_type: str | None = None) -> str:

@@ -115,6 +115,33 @@ def out_links(cfg: WebConfig, host: int, page: int) -> list[str]:
     return links
 
 
+def login_page(cfg: WebConfig, host: str, with_captcha: bool = False) -> str:
+    """Deterministic multi-form login page for a credentialed host —
+    the fixture the login-form CLASSIFIER must get right (reference
+    login.py:204-260 classifies every form via formasaurus and picks
+    the login one).  Three forms: a search form, a newsletter signup
+    (has an email field but no password), and the real login form
+    (username + password, POST to /login, optional captcha)."""
+    captcha = (
+        '  <input type="text" name="captcha_answer">\n'
+        '  <img src="/captcha.png">\n'
+        if with_captcha else ""
+    )
+    return f"""<html><head><title>{host} login</title></head><body>
+<form action="/search" method="GET">
+  <input type="text" name="q">
+</form>
+<form action="/newsletter" method="POST">
+  <input type="text" name="email_address">
+</form>
+<form action="/login" method="POST">
+  <input type="text" name="username">
+  <input type="password" name="password">
+{captcha}  <input type="hidden" name="csrf" value="tok-{host}">
+</form>
+</body></html>"""
+
+
 def session_token(job_id: str, host: str) -> str:
     """Deterministic per-(job, host) login session token — the
     simulated analogue of the reference's per-job cookie session

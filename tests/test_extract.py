@@ -177,3 +177,35 @@ def test_utf16_html_links_extract():
     html = '<html><a href="/page2">x</a></html>'.encode("utf-16")
     links = extract_links("http://h.test/", "text/html", html)
     assert links == ["http://h.test/page2"]
+
+
+def test_undeclared_shift_jis_links_extract():
+    """F10 statistical fallback (reference chardet seam,
+    extractor.py:200-204): an UNDECLARED shift-jis page — no BOM, no
+    header charset, no <meta> — still decodes as shift_jis and its
+    links extract; same for an undeclared koi8-r page."""
+    from starbelly_spark.functions.extract import (
+        detect_charset,
+        extract_html_links,
+    )
+
+    jp = ("<html><body><p>" + "これは日本語のページです。" * 8 + "</p>"
+          '<a href="/次のページ">次</a>'
+          '<a href="http://other.example/p1">x</a></body></html>')
+    body = jp.encode("shift_jis")
+    assert detect_charset(body) == "shift_jis"
+    links = extract_html_links("http://h.example/p0", body)
+    assert "http://other.example/p1" in links
+    assert any("%E6%AC%A1" in u or "次" in u for u in links)
+
+    ru = ("<html><body>" + "Это страница на русском языке. " * 8 +
+          '<a href="http://r.example/p2">далее</a></body></html>')
+    body_ru = ru.encode("koi8_r")
+    assert detect_charset(body_ru) == "koi8_r"
+    assert "http://r.example/p2" in extract_html_links(
+        "http://r.example/p0", body_ru)
+
+    # declared charsets still take precedence over statistics
+    decl = ('<html><head><meta charset="windows-1251"></head>'
+            "<body>Привет мир</body></html>").encode("cp1251")
+    assert detect_charset(decl) == "windows-1251"

@@ -66,3 +66,86 @@ def test_no_logins_all_unauthenticated(spark, tmp_path):
     res = store.table(m, "results")
     assert res.where(F.col("authenticated")).count() == 0
     assert m.get("sessions") == {}
+
+
+# ---- r3: login-form classification (reference login.py:39-90,185-233) -----
+
+def test_multi_form_page_picks_login_form():
+    from starbelly_spark.login import (
+        build_login_request,
+        classify_forms,
+        select_login_fields,
+        select_login_form,
+    )
+    from starbelly_spark.sources.synthetic_web import login_page
+
+    html = login_page(WEB, "h1.example")
+    forms = classify_forms(html)
+    assert len(forms) == 3
+    form, meta = select_login_form(forms)
+    assert form["action"] == "/login" and form["method"] == "POST"
+    u, p, c = select_login_fields(meta["fields"])
+    assert (u, p, c) == ("username", "password", None)
+
+    action, method, fields = build_login_request(
+        "http://h1.example/login", html, "user1", "hunter2")
+    assert action == "http://h1.example/login"
+    assert method == "POST"
+    assert fields["username"] == "user1"
+    assert fields["password"] == "hunter2"
+    assert fields["csrf"] == "tok-h1.example"   # untouched prefill kept
+
+
+def test_login_form_with_captcha_needs_solver():
+    import pytest
+
+    from starbelly_spark.captcha import CaptchaSolver
+    from starbelly_spark.login import build_login_request
+    from starbelly_spark.sources.synthetic_web import login_page
+
+    html = login_page(WEB, "h2.example", with_captcha=True)
+    with pytest.raises(ValueError, match="CAPTCHA required"):
+        build_login_request("http://h2.example/login", html, "u", "p")
+    solver = CaptchaSolver.from_doc(
+        {"id": "s1", "name": "s1", "service_url": "http://solver.example",
+         "api_key": "k", "min_length": 4, "max_length": 4})
+    action, method, fields = build_login_request(
+        "http://h2.example/login", html, "u", "p", solver=solver)
+    assert fields["captcha_answer"]                 # solved, substituted
+    assert action == "http://h2.example/login"
+
+
+def test_no_login_form_raises():
+    import pytest
+
+    from starbelly_spark.login import build_login_request
+
+    # no forms at all → the reference's "Can't find login form"
+    with pytest.raises(ValueError, match="Can't find login form"):
+        build_login_request("http://x/login", "<html><body/></html>",
+                            "u", "p")
+    # a search-only page: like the reference, the argmax still picks
+    # SOME form (every form has a login probability) and the failure
+    # surfaces at field selection — login.py:214-215 semantics
+    html = ('<html><body><form action="/search" method="GET">'
+            '<input type="text" name="q"></form></body></html>')
+    with pytest.raises(ValueError, match="username/password"):
+        build_login_request("http://x/login", html, "u", "p")
+
+
+def test_login_form_beats_lookalike_without_password():
+    """A form whose ACTION says login but has no password field must
+    lose to the real login form (the classifier scores, not the URL)."""
+    from starbelly_spark.login import classify_forms, select_login_form
+
+    html = """<html><body>
+<form action="/login-help" method="POST">
+  <input type="text" name="email">
+</form>
+<form action="/auth" method="POST">
+  <input type="text" name="user_name">
+  <input type="password" name="pass">
+</form>
+</body></html>"""
+    form, meta = select_login_form(classify_forms(html))
+    assert form["action"] == "/auth"
