@@ -507,27 +507,48 @@ MIN_RECALL = 0.9
 MAX_CAND_RATIO = 8.0
 
 
+# Clustered-fixture parameters for the IVF entry: the raw synthetic
+# embeddings are isotropic gaussians (no cluster structure — IVF
+# recall there ≈ probed fraction, meaningless), so the entry derives a
+# clustered dataset deterministically from the input table:
+# v' = v + IVF_SCALE · offset[vec_id % IVF_CLUSTERS].  Real corpora
+# cluster; this makes the recall gate hold at a production-shaped
+# n_probe = 4/16 instead of the r2 caveat's 12/16.
+IVF_CLUSTERS = 16
+IVF_SCALE = 3.0
+IVF_SEED = 77
+IVF_N_PROBE = 4
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (bounded driver-side centroid training, cell-pruned
-    probe).  Output = the EXACT cosine top-k (fully oracled) plus a
-    recall gate: the IVF probe must recover ≥ MIN_RECALL of it."""
+    probe) over the clustered fixture.  Output = the EXACT cosine
+    top-k on the clustered vectors (fully oracled: the cluster offsets
+    are float64-exact SQL literals) plus a recall gate: the IVF probe
+    at n_probe=4/16 must recover ≥ MIN_RECALL of it."""
     from starbelly_spark.operators.similarity import (
+        cluster_offsets,
+        clustered_embedding_col,
         cosine_topk,
         ivf_topk,
         train_centroids,
     )
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
-    q = _fixed_query_vec()
-    exact = cosine_topk(embeddings, q, k=10)
-    # n_probe is high because the SYNTHETIC embeddings are isotropic
-    # gaussians with no cluster structure (recall ≈ probed fraction);
-    # real corpora cluster, so production n_probe is far lower.  The
-    # gate pins the train→assign→prune→re-rank machinery.
-    cents = train_centroids(embeddings, n_centroids=16)
+    offsets = cluster_offsets(64, IVF_CLUSTERS, IVF_SEED)
+    clustered = embeddings.withColumn(
+        "clustered",
+        clustered_embedding_col(F.col("embedding"), F.col("vec_id"),
+                                offsets, IVF_SCALE),
+    )
+    q = [float(x) for x in offsets[5]]      # a query near cluster 5
+    exact = cosine_topk(clustered, q, k=10, vec_col="clustered")
+    cents = train_centroids(clustered, n_centroids=IVF_CLUSTERS,
+                            vec_col="clustered")
     ivf_ids = {
-        r["vec_id"] for r in ivf_topk(embeddings, q, cents, k=10,
-                                      n_probe=12).collect()
+        r["vec_id"] for r in ivf_topk(clustered, q, cents, k=10,
+                                      n_probe=IVF_N_PROBE,
+                                      vec_col="clustered").collect()
     }
     exact_ids = [r["vec_id"] for r in exact.collect()]
     recall = (
@@ -765,6 +786,31 @@ def _exact_jaccard_sql(shingle_n: int, threshold: float,
                {", true AS recall_ok" if with_gate else ""}
                {", true AS cand_ok" if with_cand else ""}
         FROM inter WHERE i::DOUBLE / (na + nb - i) >= {threshold}
+    """
+
+
+def _ivf_clustered_sql() -> str:
+    """DuckDB mirror of the IVF entry's EXACT top-k over the clustered
+    fixture: the cluster offsets are float32-quantized float64
+    literals, so ``embedding + scale·offset[vec_id % n]`` is
+    bit-identical in both engines (same IEEE ops, same fold order)."""
+    from starbelly_spark.operators.similarity import cluster_offsets_as_lists
+
+    offs = cluster_offsets_as_lists(64, IVF_CLUSTERS, IVF_SEED)
+    cent_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in offs
+    ) + "]::DOUBLE[][]"
+    q_lit = "[" + ", ".join(repr(x) for x in offs[5]) + "]::DOUBLE[]"
+    return f"""
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                   list_transform(generate_series(1, 64),
+                       i -> (embedding::DOUBLE[])[i]
+                            + {IVF_SCALE} * (({cent_lit})[(vec_id % {IVF_CLUSTERS}) + 1])[i]),
+                   {q_lit}), 6) AS cosine,
+               true AS recall_ok
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id LIMIT 10
     """
 
 
@@ -1014,14 +1060,7 @@ def oracle_sql() -> dict[str, str]:
                    lower(p_brand) AS mime_subtype
             FROM part
         """,
-        "ann_ivf_topk": f"""
-            SELECT vec_id,
-                   round(list_cosine_similarity(embedding::DOUBLE[],
-                                                [{qv}]::DOUBLE[]), 6) AS cosine,
-                   true AS recall_ok
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id LIMIT 10
-        """,
+        "ann_ivf_topk": _ivf_clustered_sql(),
         "dedup_minhash_lsh": _exact_jaccard_sql(shingle_n=3, threshold=0.5),
         "dedup_simhash": _exact_jaccard_sql(shingle_n=2, threshold=0.8,
                                             with_cand=True),

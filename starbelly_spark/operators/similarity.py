@@ -120,6 +120,41 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def cluster_offsets(dim: int, n_clusters: int, seed: int) -> np.ndarray:
+    """Deterministic unit cluster-center offsets (float32-quantized so
+    an external engine given the literals reproduces the arithmetic
+    bit-for-bit, like ``_planes``).  Used to derive a CLUSTERED
+    embedding fixture from an isotropic one: ``v + scale·offset[id %
+    n]`` — real corpora cluster, isotropic gaussians don't, and IVF
+    recall at small n_probe is only meaningful on clustered data."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    m = rng.standard_normal((n_clusters, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m.astype(np.float32).astype(np.float64)
+
+
+def cluster_offsets_as_lists(dim: int, n_clusters: int,
+                             seed: int) -> list[list[float]]:
+    return [[float(x) for x in row]
+            for row in cluster_offsets(dim, n_clusters, seed)]
+
+
+def clustered_embedding_col(vec_col, id_col, offsets: np.ndarray,
+                            scale: float = 3.0):
+    """JVM-side column: embedding + scale·offset[vec_id % n_clusters]
+    (zip_with over literal arrays — float64 exact, oracle-able)."""
+    cent_arrays = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in offsets
+    ])
+    # F.get (not element_at): Spark 4 ANSI element_at throws on OOB
+    cent = F.get(cent_arrays,
+                 (id_col % F.lit(len(offsets))).cast("int"))
+    return F.zip_with(
+        vec_col.cast("array<double>"), cent,
+        lambda a, b: a + F.lit(float(scale)) * b,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style index
 # ---------------------------------------------------------------------------
