@@ -120,6 +120,52 @@ def job_status(spark: SparkSession, root: str, job_id: str) -> dict:
     return job_stats(spark, root, job_id)
 
 
+def task_tree(
+    spark: SparkSession,
+    root: str,
+    job_ids: list[str],
+) -> dict:
+    """Task-monitor snapshot — the analogue of the reference's
+    task-tree subscription (``/root/reference/starbelly/
+    subscription.py:602-680``: a periodic nested (name, subtasks)
+    render of the running scheduler).  Here the "tasks" are the two
+    real execution trees: the crawl jobs (manifest state → batch /
+    counters) and Spark's scheduler (active jobs → active stages with
+    task progress, via the public StatusTracker).  Callers poll this
+    on the reference's period to stream the same surface."""
+    jobs_node: list[dict] = []
+    for job_id in job_ids:
+        m = JobStore(spark, root, job_id).latest_manifest()
+        if m is None:
+            continue
+        jobs_node.append({
+            "name": f"job {job_id} ({m['run_state']})",
+            "subtasks": [
+                {"name": f"batch {m['batch_id']}", "subtasks": []},
+                {"name": f"items {m['counters']['item_count']}",
+                 "subtasks": []},
+            ],
+        })
+    tracker = spark.sparkContext.statusTracker()
+    stage_nodes = []
+    for sid in tracker.getActiveStageIds():
+        info = tracker.getStageInfo(sid)
+        if info is None:
+            continue
+        stage_nodes.append({
+            "name": f"stage {sid} ({info.numCompletedTasks}/"
+                    f"{info.numTasks} tasks)",
+            "subtasks": [],
+        })
+    spark_node = {
+        "name": f"spark jobs {list(tracker.getActiveJobsIds())}",
+        "subtasks": stage_nodes,
+    }
+    return {"name": "<Root>",
+            "subtasks": [{"name": "crawl jobs", "subtasks": jobs_node},
+                         spark_node]}
+
+
 def resource_history(
     spark: SparkSession,
     root: str,

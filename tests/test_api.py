@@ -68,3 +68,18 @@ def test_list_jobs(spark, crawled):
     assert out[0]["job_id"] == "api-job"
     assert out[0]["run_state"] == "completed"
     assert out[0]["item_count"] > 0
+
+
+def test_task_tree_snapshot(spark, crawled):
+    """r3: task-monitor analogue (reference subscription.py:602-680) —
+    nested (name, subtasks) over crawl jobs + Spark scheduler."""
+    from starbelly_spark.api import task_tree
+
+    tree = task_tree(spark, crawled, ["api-job", "no-such-job"])
+    assert tree["name"] == "<Root>"
+    crawl_node, spark_node = tree["subtasks"]
+    names = [t["name"] for t in crawl_node["subtasks"]]
+    assert len(names) == 1 and names[0].startswith("job api-job (")
+    subnames = [s["name"] for s in crawl_node["subtasks"][0]["subtasks"]]
+    assert any(n.startswith("batch ") for n in subnames)
+    assert spark_node["name"].startswith("spark jobs")
