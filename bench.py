@@ -95,17 +95,25 @@ def crawl_bench(spark, n_hosts=2048, total_pages=20_000_000,
                              cuckoo_buckets=1 << 15)
     bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="crawlbench_", dir=bench_tmp)
-    store = start_job(spark, root, "bench", web.seeds(n_seeds or n_hosts),
-                      policy, web, settings)
-    m = store.latest_manifest()
-    for _ in range(ramp_batches):
-        m = run_batch(store, m)
-    fetched0 = m["counters"]["item_count"]
-    seq0 = m["sequence"]
-    t0 = time.perf_counter()
-    for _ in range(measure_batches):
-        m = run_batch(store, m)
-    wall = time.perf_counter() - t0
+    # ALWAYS clean the tmpfs job dir — a killed bench that leaks its
+    # ~1 GB state dirs into /dev/shm steals page cache from every
+    # later run (measured: 23 GB of leaked dirs cost ~10% throughput)
+    try:
+        store = start_job(spark, root, "bench", web.seeds(n_seeds or n_hosts),
+                          policy, web, settings)
+        m = store.latest_manifest()
+        for _ in range(ramp_batches):
+            m = run_batch(store, m)
+        fetched0 = m["counters"]["item_count"]
+        seq0 = m["sequence"]
+        t0 = time.perf_counter()
+        for _ in range(measure_batches):
+            m = run_batch(store, m)
+        wall = time.perf_counter() - t0
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
     fetched = m["counters"]["item_count"] - fetched0
     popped = m["sequence"] - seq0
     return {

@@ -120,6 +120,23 @@ def job_status(spark: SparkSession, root: str, job_id: str) -> dict:
     return job_stats(spark, root, job_id)
 
 
+def results_as_of(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    batch_id: int,
+) -> DataFrame:
+    """Snapshot time travel: the results table exactly as of a
+    committed batch (Iceberg's ``VERSION AS OF`` contract over the
+    manifest log — old dirs are never deleted, so every committed
+    snapshot stays readable)."""
+    store = JobStore(spark, root, job_id)
+    m = store.manifest_at(batch_id)
+    if m is None:
+        raise ValueError(f"no committed snapshot for batch {batch_id}")
+    return store.table(m, "results")
+
+
 def task_tree(
     spark: SparkSession,
     root: str,

@@ -279,7 +279,8 @@ def proxy_expr(policy: Policy, url_col: Column) -> Column:
     ``has_match == needs_match``.  The fetch kernel consumes
     ``proxy_url`` per row the way it consumes sessions — JVM-side
     expression, no Python in the chain."""
-    rules = validate_proxy_rules(policy.proxy_rules)
+    # empty rule list ≡ the reference's "never proxy" default
+    rules = validate_proxy_rules(policy.proxy_rules or (ProxyRule(),))
 
     def _val(r: ProxyRule) -> Column:
         return F.struct(

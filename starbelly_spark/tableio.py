@@ -68,6 +68,26 @@ class JobStore:
         except FileNotFoundError:
             return None
 
+    def manifest_at(self, batch_id: int) -> dict | None:
+        """Time travel: any committed snapshot stays readable (the
+        Iceberg snapshot-as-of contract) because commits only ADD data
+        dirs and manifests — compaction rewrites the manifest's dir
+        LISTS, never deletes old dirs.  Returns None for an
+        uncommitted batch id."""
+        try:
+            with open(self._manifest_path(batch_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def snapshots(self) -> list[int]:
+        """All committed batch ids, ascending (snapshot history)."""
+        ids = []
+        for fn in os.listdir(self.dir):
+            if fn.startswith("manifest_") and fn.endswith(".json"):
+                ids.append(int(fn[len("manifest_"):-len(".json")]))
+        return sorted(ids)
+
     def _atomic_write(self, path: str, text: str) -> None:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

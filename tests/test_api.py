@@ -83,3 +83,29 @@ def test_task_tree_snapshot(spark, crawled):
     subnames = [s["name"] for s in crawl_node["subtasks"][0]["subtasks"]]
     assert any(n.startswith("batch ") for n in subnames)
     assert spark_node["name"].startswith("spark jobs")
+
+
+def test_results_as_of_time_travel(spark, crawled):
+    """r3: snapshot time travel — an earlier committed batch's results
+    table is a strict prefix of the latest one, and its row count
+    equals the counters at that batch (Iceberg VERSION AS OF)."""
+    from starbelly_spark.api import results_as_of
+    from starbelly_spark.tableio import JobStore
+
+    store = JobStore(spark, crawled, "api-job")
+    snaps = store.snapshots()
+    assert snaps[0] == 0 and len(snaps) >= 3
+    mid = snaps[len(snaps) // 2]
+    mid_rows = {r.sequence for r in
+                results_as_of(spark, crawled, "api-job", mid)
+                .select("sequence").collect()}
+    last_rows = {r.sequence for r in
+                 results_as_of(spark, crawled, "api-job", snaps[-1])
+                 .select("sequence").collect()}
+    assert mid_rows < last_rows
+    m_mid = store.manifest_at(mid)
+    assert len(mid_rows) == m_mid["counters"]["item_count"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        results_as_of(spark, crawled, "api-job", 10**6)

@@ -60,6 +60,13 @@ def run_level(cpus: int, n_hosts: int, pages: int, budget: int, k: int,
     """One level in a fresh subprocess, hard-pinned to exactly `cpus`
     physical cores via taskset — otherwise the JVM's GC/IO threads give
     the small-N level free extra cores and understate scaling."""
+    # clean any leaked tmpfs state (a SIGKILLed child skips its
+    # finally) — stale /dev/shm dirs measurably depress later runs
+    import glob
+    import shutil
+
+    for leak in glob.glob("/dev/shm/crawlbench_*"):
+        shutil.rmtree(leak, ignore_errors=True)
     code = CHILD.format(repo=REPO, n_hosts=n_hosts, pages=pages,
                         budget=budget, k=k, ramp=ramp, batches=batches)
     env = dict(os.environ,
@@ -140,7 +147,7 @@ def main() -> None:
         "pages": int(os.environ.get("SCALE_PAGES", "20000000")),
         "budget": int(os.environ.get("SCALE_BUDGET", "300000")),
         "k": int(os.environ.get("SCALE_K", "1024")),
-        "ramp": int(os.environ.get("SCALE_RAMP", "3")),
+        "ramp": int(os.environ.get("SCALE_RAMP", "4")),
         "batches": int(os.environ.get("SCALE_BATCHES", "5")),
         "lo": int(os.environ.get("SCALE_LO", "2")),
         "hi": int(os.environ.get("SCALE_HI", "8")),
