@@ -614,6 +614,9 @@ def run_batch(store: JobStore, m: dict) -> dict:
     )
     per_status = stats_plan.collect()
     _mark("stats-agg (pop+fetch+results)")
+    # this collect doubles as the materializer of the new_urls cache —
+    # the commit writes then read it concurrently without computing it
+    # under per-partition cache locks (lock-waiters hold task slots)
     lineage_rows = lineage_plan.collect()
     _mark("lineage-agg (links+dedup+probe)")
     if not per_status:
