@@ -127,10 +127,45 @@ def crawl_bench(spark, n_hosts=2048, total_pages=20_000_000,
     }
 
 
+def hygiene_check() -> None:
+    """Snapshot hygiene (r3 verdict #1): BENCH_r03 was a crash artifact
+    because a leftover scaling_bench (two crawl JVMs + leaked tmpfs
+    state) contended the box while the driver benched.  Before
+    measuring: (a) delete stale /dev/shm/crawlbench_* dirs from
+    SIGKILLed runs, (b) loudly warn on stderr if another
+    scaling/prefilter bench process is alive — the numbers will be
+    contended and should not be trusted."""
+    import glob
+    import shutil
+
+    for leak in glob.glob("/dev/shm/crawlbench_*"):
+        print(f"bench: removing stale tmpfs state {leak}", file=sys.stderr)
+        shutil.rmtree(leak, ignore_errors=True)
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if any(tok in cmd for tok in
+               ("scaling_bench", "prefilter_bench", "crawl_bench",
+                "bench.py")):
+            print(
+                f"bench: WARNING — competing bench process {pid} is "
+                f"running ({cmd[:160]}); this measurement is CONTENDED "
+                "and should be rerun on a quiet box",
+                file=sys.stderr,
+            )
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from starbelly_spark.session import get_spark
 
+    hygiene_check()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     qs = entrymod.queries()

@@ -130,11 +130,15 @@ def results_as_of(
     committed batch (Iceberg's ``VERSION AS OF`` contract over the
     manifest log — old dirs are never deleted, so every committed
     snapshot stays readable)."""
+    from .crawl import RESULTS_SCHEMA
+
     store = JobStore(spark, root, job_id)
     m = store.manifest_at(batch_id)
     if m is None:
         raise ValueError(f"no committed snapshot for batch {batch_id}")
-    return store.table(m, "results")
+    # schema so a pre-first-results snapshot (e.g. the batch-0 manifest
+    # from start_job) returns an empty, correctly-typed DataFrame
+    return store.table(m, "results", schema=RESULTS_SCHEMA)
 
 
 def task_tree(

@@ -33,6 +33,7 @@ pending → running → {paused, completed, cancelled}.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -58,6 +59,7 @@ from .policy import (
     Policy,
     cost_expr,
     cost_gate_expr,
+    make_mime_should_save,
     mime_save_expr,
     proxy_expr,
     scheme_filter_expr,
@@ -89,6 +91,16 @@ from .tableio import (
     JobStore,
     new_manifest,
 )
+
+logger = logging.getLogger(__name__)
+
+# Engage the next-batch (hosts, clock-jump) carry precompute only when
+# the pending frontier is big enough that the serial clock-agg job
+# costs real time; below it the carry's own checkpoint+agg jobs cost
+# more than they save (measured +1.5-2s/batch at toy scale).  The
+# carry and the on-the-spot fallback compute identical numbers, so
+# this is purely a cost decision (test: forced-carry equivalence).
+CARRY_MIN_FRONTIER = 100_000
 
 RESULTS_SCHEMA = (
     "sequence long, job_id string, url string, cost double, "
@@ -159,6 +171,7 @@ def _policy_to_doc(policy: Policy) -> dict:
         "robots_txt": {
             "usage": policy.robots.usage,
             "obey_crawl_delay": policy.robots.obey_crawl_delay,
+            "read_sitemaps": policy.robots.read_sitemaps,
         },
         "user_agents": [{"name": policy.user_agent}],
         "captcha_solver_id": policy.captcha_solver_id,
@@ -193,6 +206,36 @@ def _doc_to_policy(doc: dict) -> Policy:
     return Policy.from_doc(clean)
 
 
+def _with_sitemap_seeds(seeds: list[str], policy: Policy,
+                        web: WebConfig) -> list[str]:
+    """When ``policy.robots.read_sitemaps`` is on, extend the seed list
+    with the ``Sitemap:`` URLs from each seed host's robots.txt
+    (reference ``policy.py:568-579`` flag + ``robots.py:280-284``
+    ``get_sitemaps``; the reference leaves the consumption latent —
+    our documented choice is to seed them at job start, cost 0 like
+    seeds, not robots-gated, exactly as seeds aren't).  Deterministic:
+    seed order then robots-file order."""
+    if not policy.robots.read_sitemaps:
+        return seeds
+    import re as _re
+
+    from .robots import robots_sitemaps, synthetic_robots_txt
+
+    out = list(seeds)
+    hosts_seen: set[str] = set()
+    for s in seeds:
+        hm = _re.match(r"^https?://h(\d+)\.example", s)
+        if not hm or hm.group(0) in hosts_seen:
+            continue
+        hosts_seen.add(hm.group(0))
+        for sm in robots_sitemaps(
+            synthetic_robots_txt(int(hm.group(1)), web.seed)
+        ):
+            if sm not in out:
+                out.append(sm)
+    return out
+
+
 def start_job(
     spark: SparkSession,
     root: str,
@@ -211,9 +254,11 @@ def start_job(
     params = settings.seen_params()
     canon = make_canonicalize_udf(policy.normalization.strip_parameters
                                   if policy.normalization.enabled else ())
+    seeds = _with_sitemap_seeds(seeds, policy, web)
     seeds_df = (
         spark.createDataFrame([(u,) for u in seeds], "url string")
         .withColumn("url", canon("url"))
+        .dropDuplicates(["url"])
         .withColumn("host", host_udf("url"))
         .withColumn("cost", F.lit(0.0))
         .withColumn("in_flight", F.lit(False))
@@ -229,7 +274,10 @@ def start_job(
     m["settings"] = asdict(settings)
     m["rate_limits"] = rate_limits or []
     # domain_login dimension (reference db.py:477-487) + the per-job
-    # login-session state it feeds (login.py semantics, simulated)
+    # login-session state it feeds (login.py semantics, simulated).
+    # A host may appear in several tuples — that is the reference's
+    # per-domain ``users`` list; selection is deterministic
+    # (_pick_login_user) instead of the reference's random.choice.
     m["domain_logins"] = [list(t) for t in (domain_logins or [])]
     # captcha_solver dimension (reference captcha.py + db.py:325-337)
     m["captcha_solvers"] = list(captcha_solvers or [])
@@ -255,6 +303,22 @@ def start_job(
     t["seen_segments"] = [store.write_dir("seen_segments", 0, segs)]
     store.commit(m)
     return store
+
+
+def _pick_login_user(users: list[tuple[str, str]], job_id: str,
+                     host: str) -> tuple[str, str]:
+    """Pick one ``(user, password)`` from the host's users list.
+
+    The reference uses ``random.choice`` over the domain's users
+    (``/root/reference/starbelly/login.py:116-127``); here the choice
+    is DETERMINISTIC (crawl ordering must be reproducible under the
+    same seeds — BASELINE north rule): index by crc32(job_id|host)
+    over the username-sorted list."""
+    import zlib
+
+    ordered = sorted(users)
+    i = zlib.crc32(f"{job_id}|{host}".encode()) % len(ordered)
+    return ordered[i]
 
 
 def _load_context(store: JobStore, m: dict):
@@ -321,26 +385,43 @@ def run_batch(store: JobStore, m: dict) -> dict:
     if pol_rows is None:
         pol_rows = pol_log.count()
     bcast_ok = pol_rows <= settings.broadcast_hosts_max
-    # persisted: the distinct-host set feeds BOTH the clock agg and the
-    # eligibility semi-join in pop — one shuffle, not two
-    hosts = frontier.select("host").distinct().persist()
-    # Effective clock: if no pending host is eligible right now, jump
-    # to the earliest next_allowed_ts in the same batch (the
-    # reference's empty-poll backoff, frontier.py:104-114, folded into
-    # W5 earliest-expiry selection — no wasted empty micro-batches).
-    # min(coalesce(next_allowed, clock)): a host with no politeness
-    # entry is eligible immediately, so the min can never exceed the
-    # earliest truly-eligible instant.
-    m_row = (
-        hosts.join(maybe_broadcast(politeness, bcast_ok), "host", "left")
-        .agg(
-            F.min(
-                F.coalesce(F.col("next_allowed_ts"), F.lit(clock))
-            ).alias("t")
+    # Host dimension + effective clock.  The distinct-host set feeds
+    # BOTH the clock agg and the eligibility semi-join in pop — one
+    # shuffle, not two.  Effective clock: if no pending host is
+    # eligible right now, jump to the earliest next_allowed_ts in the
+    # same batch (the reference's empty-poll backoff,
+    # frontier.py:104-114, folded into W5 earliest-expiry selection —
+    # no wasted empty micro-batches).  min(coalesce(next_allowed,
+    # clock)): a host with no politeness entry is eligible immediately,
+    # so the min can never exceed the earliest truly-eligible instant.
+    #
+    # r4 serial-path cut: the PREVIOUS batch precomputed both (hosts
+    # DF + min-next scalar) concurrently with its commit writes (see
+    # _next_carry below) — a carry hit means ZERO serial jobs between
+    # manifest read and the pop.  The carry is driver-memory only and
+    # keyed by batch_id: any external commit (resume, set_rate_limit),
+    # a fresh process, or compaction-config change misses the key and
+    # falls back to the identical on-the-spot computation — same
+    # inputs, same numbers, so pops are byte-identical either way.
+    carry = getattr(store, "_carry", None)
+    store._carry = None
+    if carry is not None and carry.get("batch_id") != batch_id:
+        carry["hosts"].unpersist()
+        carry = None
+    if carry is not None:
+        hosts, min_next = carry["hosts"], carry["min_next"]
+    else:
+        hosts = frontier.select("host").distinct().persist()
+        min_next = (
+            hosts.join(maybe_broadcast(politeness, bcast_ok), "host", "left")
+            .agg(
+                F.min(
+                    F.coalesce(F.col("next_allowed_ts"), F.lit(clock))
+                ).alias("t")
+            )
+            .collect()[0]["t"]
         )
-        .collect()[0]
-    )
-    if m_row["t"] is None:
+    if min_next is None:
         # FrontierExhaustionError semantics (frontier.py:110-114):
         # empty + nothing in flight → COMPLETED
         nm["run_state"] = "completed"
@@ -349,7 +430,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
         frontier.unpersist()
         hosts.unpersist()
         return nm
-    clock = max(clock, float(m_row["t"]))
+    clock = max(clock, float(min_next))
     _mark("clock-agg")
 
     eligible = eligible_hosts(hosts, politeness, clock, bcast_ok)
@@ -375,7 +456,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # hosts get a deterministic session recorded in the manifest, and
     # the fetch kernel consumes the session map.
     sessions: dict[str, str] = dict(m.get("sessions") or {})
-    creds = {t[0]: (t[1], t[2]) for t in (m.get("domain_logins") or [])}
+    # multi-user domain logins (reference db.py:477-487 stores a
+    # ``users`` list per domain; login.py:116-127 picks one per
+    # attempt) — repeated hosts in domain_logins accumulate users
+    creds: dict[str, list[tuple[str, str]]] = {}
+    for t in m.get("domain_logins") or []:
+        creds.setdefault(t[0], []).append((t[1], t[2]))
     login_hosts = sorted(creds)
     if login_hosts:
         # captcha solver for login forms (reference login.py uses the
@@ -404,18 +490,33 @@ def run_batch(store: JobStore, m: dict) -> dict:
         from .sources.synthetic_web import login_page
 
         n_solved = 0
+        n_failed = 0
         login_actions: dict[str, str] = dict(m.get("login_actions") or {})
         for r in flagged.where(F.col("needs_login")).collect():
             host = r["host"]
             if host in sessions:
                 continue
-            user, pw = creds[host]
+            user, pw = _pick_login_user(creds[host], job_id, host)
             page_url = f"http://{host}/login"
             html = login_page(web, host, with_captcha=solver is not None)
-            action, method, fields = build_login_request(
-                page_url, html, user, pw, solver=solver,
-            )
-            assert method == "POST" and fields["username"] == user
+            # reference login.py:141-145: a failed login (no login
+            # form, missing fields, captcha without solver) is logged
+            # and the crawl continues unauthenticated for that host
+            try:
+                action, method, fields = build_login_request(
+                    page_url, html, user, pw, solver=solver,
+                )
+            except ValueError as exc:
+                logger.warning("Login failed for host=%s: %s", host, exc)
+                n_failed += 1
+                continue
+            if method != "POST" or fields.get("username") != user:
+                logger.warning(
+                    "Login form for host=%s has unexpected shape "
+                    "(method=%s); continuing unauthenticated", host, method,
+                )
+                n_failed += 1
+                continue
             if solver is not None and fields.get("captcha_answer"):
                 n_solved += 1
             # the simulated POST: deterministic session establishment
@@ -426,28 +527,43 @@ def run_batch(store: JobStore, m: dict) -> dict:
         if n_solved:
             c0 = nm["counters"]
             c0["captcha_solved"] = c0.get("captcha_solved", 0) + n_solved
+        if n_failed:
+            c0 = nm["counters"]
+            c0["login_failed"] = c0.get("login_failed", 0) + n_failed
 
     # ---- FETCH (vectorized Arrow UDF) ------------------------------------
     # proxy routing (reference policy.py:501-521 + downloader.py:266):
     # a first-match when/rlike chain stamps each popped URL with the
     # proxy the fetch routes through — JVM-side, consumed by the fetch
-    # kernel per row the way sessions are
-    fetch = make_fetch_batches(web, passthrough=("cost", "url_hash",
+    # kernel per row the way sessions are.  `host` passes through the
+    # kernel so the politeness update reuses it — no second Python
+    # host_udf pass after the fetch.  The MIME download gate rides in
+    # the kernel (reference downloader.py:25-30,194-213): a disallowed
+    # content type aborts before the body materializes.
+    fetch = make_fetch_batches(web, passthrough=("host", "cost", "url_hash",
                                                  "url_hash_hex", "sequence"),
-                               sessions=sessions)
+                               sessions=sessions,
+                               mime_allow=make_mime_should_save(policy))
     fetched = popped.withColumn(
         "proxy_url", proxy_expr(policy, F.col("url"))["proxy_url"]
     ).select(
-        "url", "cost", "url_hash", "url_hash_hex", "sequence", "proxy_url"
+        "url", "host", "cost", "url_hash", "url_hash_hex", "sequence",
+        "proxy_url"
     ).mapInPandas(
         fetch,
         schema=fetch_schema_with(
-            "cost double, url_hash binary, url_hash_hex string, sequence long"
+            "host string, cost double, url_hash binary, url_hash_hex string, "
+            "sequence long"
         ),
     ).cache()
 
     # ---- RESULTS ----------------------------------------------------------
-    results = (
+    # `results_all` keeps mime-blocked rows for the politeness/clock
+    # math; `results` (the recorded crawl results) excludes them — the
+    # reference removes MimeNotAllowedError downloads from crawl
+    # results altogether (downloader.py:269-272,301-320) while still
+    # resetting the rate limiter for them.
+    results_all = (
         fetched
         .withColumn("job_id", F.lit(job_id))
         .withColumn("started_at", F.lit(clock))
@@ -472,7 +588,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # body_id = blake2b-16 of the body when saved (storage.py:96)
     from .functions.urls import blake2b_16_udf
 
-    results = results.withColumn(
+    results_all = results_all.withColumn(
         "body_id",
         F.when(
             F.col("is_saved") & F.col("body").isNotNull(),
@@ -484,6 +600,8 @@ def run_batch(store: JobStore, m: dict) -> dict:
             F.lit(None).cast("binary")
         ),
     )
+    # recorded crawl results: mime-blocked downloads never appear
+    results = results_all.where(~F.col("mime_blocked"))
     results_out = results.select(
         "sequence", "job_id", "url", "cost", "status_code", "content_type",
         "headers", "is_success", "is_saved", "started_at", "completed_at",
@@ -568,8 +686,13 @@ def run_batch(store: JobStore, m: dict) -> dict:
     )
 
     # ---- POLITENESS UPDATE -------------------------------------------------
-    completions = results.select(
-        host_udf("url").alias("host"), F.col("completed_at").alias("completion_ts")
+    # `host` rode through the fetch kernel as a passthrough column — no
+    # Python UDF between the fetch and the politeness update.  ALL
+    # fetched rows participate, including mime-blocked ones: the
+    # reference resets the rate limiter in its download `finally`
+    # (downloader.py:243-245), blocked or not.
+    completions = results_all.select(
+        "host", F.col("completed_at").alias("completion_ts")
     )
     rl = m.get("rate_limits") or []
     rate_limits_df = (
@@ -592,7 +715,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # concurrently regresses throughput ~15% at local[32] because the
     # lineage tasks block on fetched-cache partition locks held by
     # stats tasks, occupying executor threads while waiting.
-    stats_plan = results.groupBy("status_code").agg(
+    stats_plan = results_all.groupBy("status_code", "mime_blocked").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("is_success"), 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("image_id").isNotNull() & F.col("is_saved"), 1)
@@ -628,22 +751,28 @@ def run_batch(store: JobStore, m: dict) -> dict:
             df.unpersist()
         drain_pending_unpersist()
         return nm
+    # clock + politeness cover EVERY fetched row (blocked downloads
+    # took wall time and reset the limiter); item/status counters cover
+    # only RECORDED results — the reference's MimeNotAllowedError rows
+    # skip the stats block entirely (downloader.py:221-238,269-272)
     clock_end = max(float(r["max_completed"]) for r in per_status)
     n_popped = sum(r["n"] for r in per_status)
-    n_links_discovered = sum(r["links"] for r in per_status)
+    recorded = [r for r in per_status if not r["mime_blocked"]]
+    n_links_discovered = sum(r["links"] for r in recorded)
     # a fetch with NO status code is an exception, counted apart from
     # http errors (reference db.py:429-464 tracks the three classes)
     stats = {
-        "fetched": n_popped,
-        "ok": sum(r["ok"] for r in per_status),
-        "err": sum(r["n"] - r["ok"] for r in per_status
+        "fetched": sum(r["n"] for r in recorded),
+        "ok": sum(r["ok"] for r in recorded),
+        "err": sum(r["n"] - r["ok"] for r in recorded
                    if r["status_code"] is not None),
-        "exc": sum(r["n"] for r in per_status if r["status_code"] is None),
-        "images": sum(r["images"] for r in per_status),
-        "bytes": sum(r["bytes"] for r in per_status),
+        "exc": sum(r["n"] for r in recorded if r["status_code"] is None),
+        "images": sum(r["images"] for r in recorded),
+        "bytes": sum(r["bytes"] for r in recorded),
+        "mime_blocked": n_popped - sum(r["n"] for r in recorded),
     }
     status_counts = {
-        str(r["status_code"]): r["n"] for r in per_status
+        str(r["status_code"]): r["n"] for r in recorded
         if r["status_code"] is not None
     }
     n_new = sum(r["links_new"] for r in lineage_rows)
@@ -700,16 +829,74 @@ def run_batch(store: JobStore, m: dict) -> dict:
         # manifest's log-row counter exact with no serial-path job
         return rel, store.read_dirs([rel]).count()
 
+    def _next_carry():
+        # Precompute the NEXT batch's host dimension + clock jump while
+        # the state writes run — the whole clock-agg job leaves the
+        # serial path.  Inputs are exactly what batch_id+1 would read
+        # back from the commit: frontier' = (frontier − popped) ∪ new
+        # links; politeness' = latest(log + this batch's update);
+        # clock' = clock_end.  All three exist as cached/committed
+        # plans right now, so the numbers are identical to the
+        # fallback recomputation.
+        # localCheckpoint (eager) TRUNCATES LINEAGE: the carried DF
+        # must not embed this batch's pipeline in next batch's plans —
+        # with a plain persist() every batch's logical plan nests the
+        # previous batch's (pop+fetch+extract) subtree and analysis +
+        # any cache miss grow without bound (measured: 14s → 60s+ per
+        # batch within 3 batches).  After the checkpoint the carry is
+        # a self-contained LogicalRDD of (host) rows.
+        nf_hosts = (
+            frontier.join(F.broadcast(popped.select("url_hash")),
+                          "url_hash", "left_anti")
+            .select("host")
+            .unionByName(new_frontier.select("host"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pol_next = latest_politeness(pol_log.unionByName(pol_update))
+        t = (
+            nf_hosts.join(maybe_broadcast(pol_next, bcast_ok), "host", "left")
+            .agg(
+                F.min(
+                    F.coalesce(F.col("next_allowed_ts"), F.lit(clock_end))
+                ).alias("t")
+            )
+            .collect()[0]["t"]
+        )
+        return nf_hosts, t
+
+    next_frontier_size = (
+        max(0, int(m["frontier_size"]) - n_popped + n_new)
+        if "frontier_size" in m else None
+    )
+    do_carry = (next_frontier_size is not None
+                and next_frontier_size >= CARRY_MIN_FRONTIER)
+    carry_hosts = None
     writes.pop("politeness")
-    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+    with ThreadPoolExecutor(max_workers=len(writes) + 2) as pool:
         futures = {
             key: pool.submit(store.write_dir, table, batch_id, df, co)
             for key, (table, df, co) in writes.items()
         }
         f_pol = pool.submit(_write_politeness)
+        f_carry = pool.submit(_next_carry) if do_carry else None
         rels = {key: f.result() for key, f in futures.items()}
         rels["politeness"], pol_rows_written = f_pol.result()
+        if f_carry is not None:
+            try:
+                carry_hosts, carry_t = f_carry.result()
+            except Exception:
+                logger.warning("next-batch carry precompute failed; the "
+                               "next batch will recompute on the spot",
+                               exc_info=True)
+                carry_hosts = None
     nm["politeness_log_rows"] = int(pol_rows) + int(pol_rows_written)
+    if carry_hosts is not None:
+        store._carry = {
+            "batch_id": batch_id + 1,
+            "hosts": carry_hosts,
+            "min_next": carry_t,
+        }
     _mark("8 state writes")
 
     t = nm["tables"]
@@ -776,7 +963,8 @@ def run_crawl(
     max_batches.  Always resumes from the last committed manifest."""
     store = JobStore(spark, root, job_id)
     m = store.latest_manifest()
-    assert m is not None, f"job {job_id} not started"
+    if m is None:
+        raise ValueError(f"job {job_id} not started")
     batches = 0
     while m["run_state"] == "running":
         if max_batches is not None and batches >= max_batches:
@@ -787,6 +975,13 @@ def run_crawl(
         if (m["counters"]["item_count"], m["clock"]) == prev and \
                 m["run_state"] == "running":
             break  # zero-progress batch (degenerate config) — stop cleanly
+        # re-read LATEST so external config commits made between batches
+        # (set_rate_limit, pause) take effect — the reference applies
+        # rate-limit changefeed updates live (db.py:1117).  The carry's
+        # batch_id key makes a config commit self-invalidating.
+        latest = store.latest_manifest()
+        if latest is not None and latest["batch_id"] != m["batch_id"]:
+            m = latest
     return m
 
 
@@ -820,6 +1015,31 @@ def cancel_job(spark: SparkSession, root: str, job_id: str) -> dict:
     nm["tables"]["frontier_base"] = []
     nm["tables"]["frontier_add"] = []
     nm["tables"]["frontier_del"] = []
+    store.commit(nm)
+    return nm
+
+
+def set_rate_limit(spark: SparkSession, root: str, job_id: str,
+                   host: str, delay: float | None) -> dict:
+    """Mid-crawl per-host rate-limit update — the analogue of the
+    reference's live rate-limit changefeed
+    (``/root/reference/starbelly/db.py:1117`` ``set_rate_limit`` +
+    ``rate_limiter.py:287-291``: a per-domain token supersedes, delay
+    None deletes the override).  A metadata-only commit (no data
+    writes, Iceberg-style): ``run_batch`` re-reads
+    ``m["rate_limits"]`` every batch, so the change takes effect from
+    the NEXT batch, and ``run_crawl`` re-reads LATEST between batches.
+    Call between batches (driver-side, like pause/resume) — the
+    manifest log is a single-writer sequence."""
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    if m is None:
+        raise ValueError(f"job {job_id} not started")
+    nm = new_manifest(job_id, m["batch_id"] + 1, m)
+    limits = [t for t in nm.get("rate_limits") or [] if t[0] != host]
+    if delay is not None:
+        limits.append([host, float(delay)])
+    nm["rate_limits"] = limits
     store.commit(nm)
     return nm
 

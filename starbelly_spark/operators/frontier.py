@@ -105,6 +105,34 @@ PREFILTER_MIN_ROWS = 200_000
 # efficiency 0.81→0.51; at ratio 10^4+ — the 10^10-URL regime — the
 # avoided shuffle dominates by orders of magnitude).
 PREFILTER_RATIO = 8
+# One budget threshold expresses BOTH physical-strategy decisions
+# (r3 verdict nit — three overlapping constants expressed one
+# decision): below it the budget cut is orderBy+limit (TakeOrdered
+# heaps — cheap enough that pre-filtering can't pay for its count +
+# quantile jobs); at/above it the cut is the distributed rank AND the
+# pre-filter becomes worth checking.  The engage check is equivalent
+# to the historical `target >= PREFILTER_MIN_ROWS` because
+# PREFILTER_SLACK × SMALL_BUDGET_ROWS == PREFILTER_MIN_ROWS.
+SMALL_BUDGET_ROWS = 50_000
+
+
+def prefilter_decision(budget: int) -> tuple[bool, int, int]:
+    """The single source of truth for the pop pre-filter gate.
+
+    Returns ``(worth_checking, target, floor)``: ``worth_checking`` —
+    whether the frontier-size probe should run at all (False for small
+    budgets where TakeOrdered wins outright); ``target`` — how many
+    cheapest rows the cost cut keeps (slack × budget); ``floor`` — the
+    pending-frontier size above which the cut engages
+    (ratio × target, never below PREFILTER_MIN_ROWS).
+    """
+    target = int(PREFILTER_SLACK * budget)
+    floor = max(PREFILTER_RATIO * target, PREFILTER_MIN_ROWS)
+    # at the default constants `target >= PREFILTER_MIN_ROWS` IS
+    # `budget >= SMALL_BUDGET_ROWS`; both spellings stay so tests can
+    # scale the gate down by monkeypatching PREFILTER_MIN_ROWS
+    return (target >= PREFILTER_MIN_ROWS or budget >= SMALL_BUDGET_ROWS,
+            target, floor)
 
 
 def _host_capped(df: DataFrame, per_host_k: int) -> DataFrame:
@@ -116,9 +144,8 @@ def _host_capped(df: DataFrame, per_host_k: int) -> DataFrame:
 
 def _pop_ranked(df: DataFrame, budget: int, per_host_k: int,
                 with_rank: bool, size_hint: int | None = None) -> DataFrame:
-    target = int(PREFILTER_SLACK * budget)
-    floor = max(PREFILTER_RATIO * target, PREFILTER_MIN_ROWS)
-    if target >= PREFILTER_MIN_ROWS or budget > 50_000:
+    worth_checking, target, floor = prefilter_decision(budget)
+    if worth_checking:
         # size_hint (the crawl manifest's incrementally-maintained
         # pending count) makes the common small-ratio decision FREE —
         # no count job at all on the fast path
@@ -154,7 +181,7 @@ def _budget_cut(df: DataFrame, budget: int, with_rank: bool) -> DataFrame:
     #    the exact global rank falls out for free.
     # Which rows survive is a pure function of (cost, tie) either way.
     # (Pops are per job, as in the reference, db.py:103-140.)
-    if budget <= 50_000:
+    if budget < SMALL_BUDGET_ROWS:
         out = df.orderBy("cost", "_tb").limit(budget)
         if with_rank:
             w = Window.partitionBy("job_id").orderBy("cost", "_tb")

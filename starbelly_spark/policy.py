@@ -120,6 +120,11 @@ class Limits:
 class RobotsPolicy:
     usage: str = OBEY                # OBEY | INVERT | IGNORE
     obey_crawl_delay: bool = True
+    # crawl sitemaps listed in robots.txt (reference
+    # policy.py:568-579 `read_sitemaps`, robots.py:280-284
+    # `get_sitemaps`); when on, sitemap URLs from the seed hosts'
+    # robots files are seeded into the frontier at job start
+    read_sitemaps: bool = False
 
 
 @dataclass(frozen=True)
@@ -192,6 +197,8 @@ class Policy:
             robots=RobotsPolicy(
                 usage=rob.get("usage", OBEY),
                 obey_crawl_delay=rob.get("obey_crawl_delay", True),
+                # reference default False (policy.py:568-569)
+                read_sitemaps=rob.get("read_sitemaps", False),
             ),
             normalization=Normalization(
                 enabled=norm.get("enabled", True),
@@ -268,6 +275,36 @@ def mime_save_expr(policy: Policy, content_type_col: Column) -> Column:
         )
     assert expr is not None
     return base & expr
+
+
+def make_mime_should_save(policy: Policy):
+    """Pure-Python twin of ``mime_save_expr`` for the FETCH KERNEL's
+    download gate (reference ``downloader.py:25-30,194-213``: the MIME
+    type is checked when response HEADERS arrive and a disallowed type
+    raises ``MimeNotAllowedError``, aborting the transfer BEFORE the
+    body is read).  Must agree with ``mime_save_expr`` rule-for-rule:
+    first-match chain, unanchored regex search, no-terminal → False,
+    null content-type → False (but the kernel only gates rows that
+    HAVE a content type — exceptions carry none, as in the
+    reference)."""
+    compiled = [
+        (re.compile(r.pattern) if r.pattern is not None else None,
+         r.match, bool(r.save))
+        for r in policy.mime_rules
+    ]
+
+    def should_save(content_type: str | None) -> bool:
+        if content_type is None:
+            return False
+        for pat, match, save in compiled:
+            if pat is None:
+                return save
+            hit = pat.search(content_type) is not None
+            if hit if match == MATCHES else not hit:
+                return save
+        return False
+
+    return should_save
 
 
 def proxy_expr(policy: Policy, url_col: Column) -> Column:

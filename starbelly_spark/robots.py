@@ -115,6 +115,51 @@ def parse_robots_txt(host: str, content: bytes | str | None) -> list[tuple]:
     return rows
 
 
+def robots_sitemaps(content: bytes | str | None) -> list[str]:
+    """``Sitemap:`` URLs from one robots.txt — the analogue of the
+    reference's ``RobotsTxt.get_sitemaps``
+    (``/root/reference/starbelly/robots.py:280-284``).  Sitemap lines
+    are GLOBAL per RFC 9309 §2.3 / sitemaps.org (not part of any
+    user-agent group), so they parse independently of group
+    structure; order preserved, duplicates dropped."""
+    if content is None:
+        return []
+    if isinstance(content, bytes):
+        try:
+            text = content.decode("utf-8")
+        except UnicodeDecodeError:
+            text = content.decode("latin-1")
+    else:
+        text = content
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            url = value.strip()
+            if url and url not in out:
+                out.append(url)
+    return out
+
+
+def synthetic_robots_txt(host_index: int, seed: int = 42) -> str:
+    """The robots.txt TEXT a synthetic host serves — the same rules
+    ``synthetic_robots_rules`` tabulates, plus a ``Sitemap:`` line for
+    hosts that have a sitemap page (synthetic_web.page_kind: hosts
+    ``i % 4 == 1`` serve a sitemap at /p1).  Lets the read_sitemaps
+    flow exercise the real text-parsing path end-to-end."""
+    i = host_index
+    hv = zlib.crc32(f"robots|{i}|{seed}".encode())
+    lines = ["User-agent: *"]
+    if i % 3 == 2:
+        lines.append("Disallow: /p1")
+    if i % 5 == 4:
+        lines.append(f"Crawl-delay: {1 + hv % 3}")
+    if i % 4 == 1:
+        lines.append(f"Sitemap: http://h{i}.example/p1")
+    return "\n".join(lines) + "\n"
+
+
 def robots_rules_from_files(spark, files: DataFrame) -> DataFrame:
     """Distributed parse: (host, robots binary|string) → rules table.
 

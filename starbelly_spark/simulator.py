@@ -22,7 +22,15 @@ import re
 from dataclasses import dataclass, field
 
 from .functions.urls import canonicalize_url, url_hash, url_host
-from .policy import DOES_NOT_MATCH, IGNORE, INVERT, MATCHES, Policy, expand_seed_domains
+from .policy import (
+    DOES_NOT_MATCH,
+    IGNORE,
+    INVERT,
+    MATCHES,
+    Policy,
+    expand_seed_domains,
+    make_mime_should_save,
+)
 from .sources.synthetic_web import WebConfig, fetch_one, session_token
 
 _SCHEME_RE = re.compile(r"^https?://")
@@ -114,6 +122,7 @@ def simulate_crawl(
 ) -> SimResult:
     strip = (policy.normalization.strip_parameters
              if policy.normalization.enabled else ())
+    mime_allow = make_mime_should_save(policy)
     rate_limits = rate_limits or {}
     login_hosts = set(domain_logins or [])
     sessions: dict[str, str] = {}
@@ -136,6 +145,23 @@ def simulate_crawl(
         seed_domains.append(h)
         frontier[cu] = (0.0, h)
         seen.add(url_hash(cu))
+    if policy.robots.read_sitemaps:
+        # mirror crawl._with_sitemap_seeds: seed hosts' robots Sitemap:
+        # URLs join the frontier at cost 0 (seeds are not robots-gated)
+        from .robots import robots_sitemaps, synthetic_robots_txt
+
+        for s in seeds:
+            hm = re.match(r"^https?://h(\d+)\.example", s)
+            if not hm:
+                continue
+            for sm in robots_sitemaps(
+                synthetic_robots_txt(int(hm.group(1)), web.seed)
+            ):
+                cu = canon(sm)
+                if url_hash(cu) in seen:
+                    continue
+                frontier[cu] = (0.0, url_host(cu))
+                seen.add(url_hash(cu))
     seed_domains = sorted(set(seed_domains))
 
     next_allowed: dict[str, float] = {}
@@ -178,7 +204,8 @@ def simulate_crawl(
         # fetch all concurrently at `clock`
         batch_results = []
         for c, t, u in popped:
-            r = fetch_one(web, u, sessions.get(url_host(u)))
+            r = fetch_one(web, u, sessions.get(url_host(u)),
+                          mime_allow=mime_allow)
             completion = clock + r["latency_ms"] / 1000.0
             batch_results.append((c, t, u, r, completion))
             del frontier[u]
@@ -189,6 +216,15 @@ def simulate_crawl(
         clock_end = clock
         host_completion: dict[str, float] = {}
         for c, t, u, r, completion in batch_results:
+            if r.get("mime_blocked"):
+                # reference MimeNotAllowedError: the download aborted —
+                # never recorded, no links — but the rate limiter still
+                # resets and wall time passed (downloader.py:243-245)
+                clock_end = max(clock_end, completion)
+                h = url_host(u)
+                host_completion[h] = max(host_completion.get(h, 0.0),
+                                         completion)
+                continue
             out.fetch_order.append(u)
             out.results.append({
                 "url": u, "cost": c, "status_code": r["status_code"],

@@ -154,12 +154,37 @@ def session_token(job_id: str, host: str) -> str:
     ).hexdigest()
 
 
-def fetch_one(cfg: WebConfig, url: str, session: str | None = None) -> dict:
+def content_type_of(cfg: WebConfig, host: int, page: int) -> str:
+    """The content type a 200 response for this page carries — derived
+    WITHOUT materializing the body (the response-header view the MIME
+    download gate inspects)."""
+    if is_image_page(cfg, host, page):
+        return f"image/{image_meta(cfg, host, page)[3]}"
+    kind = page_kind(cfg, host, page)
+    if kind == "sitemap":
+        return "application/xml"
+    if kind == "atom":
+        return "application/atom+xml"
+    return "text/html"
+
+
+def fetch_one(cfg: WebConfig, url: str, session: str | None = None,
+              mime_allow=None) -> dict:
     """Deterministic fetch of one URL (pure kernel; also used by the
     driver-side equivalence simulator).  ``session``: login session
     token for the URL's host, stamped onto the response — the fetch
-    runs authenticated iff the crawl established a session first."""
-    auth = {"authenticated": session is not None, "session_token": session}
+    runs authenticated iff the crawl established a session first.
+
+    ``mime_allow``: optional ``content_type -> bool`` predicate (the
+    policy's MIME save rules).  When it rejects the response's content
+    type, the download ABORTS before the body is materialized —
+    ``mime_blocked=true``, ``body=None``, no links — mirroring the
+    reference's ``MimeNotAllowedError`` (``downloader.py:25-30,
+    194-213,301-320``: headers arrive, the type is checked, the
+    transfer is abandoned and the result never reaches crawl results;
+    the rate limiter still resets, so latency is still charged)."""
+    auth = {"authenticated": session is not None, "session_token": session,
+            "mime_blocked": False}
     hp = parse_url(url)
     if hp is None or not page_exists(cfg, *hp):
         return {
@@ -177,7 +202,8 @@ def fetch_one(cfg: WebConfig, url: str, session: str | None = None) -> dict:
         status = 500
     elif hv % ERR_EVERY == 41:
         # network-level exception: NO status code at all (reference
-        # tracks these apart from http errors, db.py:429-464)
+        # tracks these apart from http errors, db.py:429-464); the
+        # MIME gate never fires — no headers ever arrived
         return {
             "url": url, "status_code": None, "content_type": None,
             "body": None, "links": [], "latency_ms": 20 + (hv % 50),
@@ -185,6 +211,18 @@ def fetch_one(cfg: WebConfig, url: str, session: str | None = None) -> dict:
             "w": None, "h": None, "fmt": None, **auth,
         }
     latency = 50 + (hv % 200)
+    # MIME download gate: only 200 responses carry a content type in
+    # this web (error pages return none), so only those can be blocked
+    if status == 200 and mime_allow is not None:
+        ctype = content_type_of(cfg, host, page)
+        if not mime_allow(ctype):
+            return {
+                "url": url, "status_code": status, "content_type": ctype,
+                "body": None, "links": [], "latency_ms": latency,
+                "image_id": None, "caption": None, "phash": None,
+                "w": None, "h": None, "fmt": None,
+                **{**auth, "mime_blocked": True},
+            }
     if is_image_page(cfg, host, page):
         image_id, w, h, fmt, caption = image_meta(cfg, host, page)
         body = (
@@ -275,14 +313,15 @@ FETCH_SCHEMA = (
     "url string, status_code int, content_type string, body binary, "
     "links array<string>, latency_ms int, image_id string, caption string, "
     "phash long, w int, h int, fmt string, authenticated boolean, "
-    "session_token string, proxy_url string"
+    "session_token string, mime_blocked boolean, proxy_url string"
 )
 
 _HOST_RE = re.compile(r"^https?://([^/]+)")
 
 
 def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = (),
-                       sessions: dict[str, str] | None = None):
+                       sessions: dict[str, str] | None = None,
+                       mime_allow=None):
     """mapInPandas kernel: frontier batch in → response rows out.
 
     ``passthrough`` columns (e.g. job_id/cost/url_hash) are copied onto
@@ -291,6 +330,9 @@ def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = (),
     analogue); shipped via closure — it holds only CREDENTIALED hosts
     (reference domain_login table), which is a tiny config dimension,
     not O(#hosts crawled).
+    ``mime_allow``: optional content-type predicate — the MIME download
+    gate (see ``fetch_one``); blocked rows surface with
+    ``mime_blocked=true`` and no body.
     """
     sessions = sessions or {}
 
@@ -300,7 +342,7 @@ def make_fetch_batches(cfg: WebConfig, passthrough: tuple[str, ...] = (),
             for u in pdf["url"]:
                 hm = _HOST_RE.match(u)
                 tok = sessions.get(hm.group(1)) if hm else None
-                rows.append(fetch_one(cfg, u, tok))
+                rows.append(fetch_one(cfg, u, tok, mime_allow=mime_allow))
             out = pd.DataFrame(rows)
             # nullable Int32: exception rows carry status_code = NULL
             out["status_code"] = out["status_code"].astype("Int32")

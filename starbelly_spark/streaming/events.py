@@ -99,8 +99,15 @@ def make_first_seen_fn(bloom_bits: int, salt_seed: int, job_id: str):
       (``rescue_maybe_dups``: anti-join against the exact seen table,
       outside the state store).
 
-    In-batch repeats of a new hash are exact duplicates (their first
-    occurrence is in the same batch) and are dropped outright.
+    In-batch repeats of a hash are exact duplicates of their first
+    occurrence in the same batch and are dropped outright.  Because
+    ``applyInPandasWithState`` may deliver a group's batch as SEVERAL
+    Arrow chunks, that dedup must span chunks: a per-invocation set of
+    hashes already emitted this batch (bounded by batch size, never
+    persisted) suppresses later-chunk repeats — without it, a hash
+    emitted sure in chunk 1 would bloom-hit in chunk 2 and be emitted
+    again as maybe_dup, which the exact rescue (keyed on the external
+    seen table only) cannot remove.
     """
     import pandas as pd
 
@@ -112,19 +119,25 @@ def make_first_seen_fn(bloom_bits: int, salt_seed: int, job_id: str):
             BlockedBloom.from_bytes(bytes(state.get[0]))
             if state.exists else BlockedBloom(bloom_bits, salt)
         )
+        emitted_this_batch: set = set()
         for pdf in pdfs:
             if not len(pdf):
                 continue
             hb = pdf["url_hash"].map(bytes)
             hit = bloom.contains(_as_matrix(list(hb)))
-            # later in-batch occurrences are exact dups of their first
-            # occurrence in this same batch — dropped outright
-            first_in_batch = ~hb.duplicated(keep="first").values
+            # later in-batch occurrences (same chunk OR a previous
+            # chunk of this invocation) are exact dups of their first
+            # occurrence in this batch — dropped outright
+            first_in_batch = (
+                ~hb.duplicated(keep="first").values
+                & ~hb.isin(emitted_this_batch).values
+            )
             keep = pd.DataFrame({
                 "url": pdf["url"].values,
                 "url_hash": hb.values,
                 "maybe_dup": hit,
             })[first_in_batch]
+            emitted_this_batch.update(keep["url_hash"])
             bloom.add(_as_matrix(list(keep["url_hash"][~keep["maybe_dup"]])))
             if len(keep):
                 yield keep

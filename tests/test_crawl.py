@@ -184,3 +184,25 @@ def test_proxy_rules_routed_through_fetch(spark, tmp_path):
     # proxied and unproxied rows both occurred
     got = {r.proxy_url for r in rows}
     assert "socks5://tor:9050" in got and None in got
+
+
+def test_carry_precompute_equivalence(spark, tmp_path, monkeypatch):
+    """r4: the next-batch (hosts, clock-jump) carry precompute must be
+    a pure relocation of work — forcing it ON at toy scale (default:
+    gated to ≥100k-row frontiers) yields byte-identical crawl order,
+    counters, and clock vs the on-the-spot fallback."""
+    import starbelly_spark.crawl as crawl_mod
+
+    def run(root, job, carry_min):
+        monkeypatch.setattr(crawl_mod, "CARRY_MIN_FRONTIER", carry_min)
+        store = start_job(spark, str(root), job, WEB.seeds(2), POLICY,
+                          WEB, SETTINGS)
+        m = run_crawl(spark, str(root), job, max_batches=200)
+        return store, m
+
+    s1, m1 = run(tmp_path / "c_on", "jc1", 0)            # carry every batch
+    s2, m2 = run(tmp_path / "c_off", "jc2", 10 ** 12)    # never carry
+    assert _spark_fetch_order(s1) == _spark_fetch_order(s2)
+    assert m1["counters"] == m2["counters"]
+    assert m1["clock"] == m2["clock"]
+    assert m1["batch_id"] == m2["batch_id"]

@@ -209,3 +209,26 @@ def test_pop_prefilter_exact_and_fallback(spark, monkeypatch):
     assert fast == slow and len(fast) == 21
     # 1 from the hot host + 20 cold hosts
     assert sum(1 for u, _ in fast if u.startswith("http://hot")) == 1
+
+
+def test_prefilter_decision_boundary():
+    """r4 (verdict #9): the engage/fallback thresholds live in ONE
+    decision function; at the default constants the worth-checking
+    boundary coincides exactly with the small/large budget-cut split
+    (SMALL_BUDGET_ROWS)."""
+    import starbelly_spark.operators.frontier as fr
+
+    # below the split: never worth probing the frontier size
+    worth, target, floor = fr.prefilter_decision(fr.SMALL_BUDGET_ROWS - 1)
+    assert not worth
+    # at the split: probe engages, floor = ratio × slack × budget
+    worth, target, floor = fr.prefilter_decision(fr.SMALL_BUDGET_ROWS)
+    assert worth
+    assert target == int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS)
+    assert floor == fr.PREFILTER_RATIO * target == 32 * fr.SMALL_BUDGET_ROWS
+    # the documented identity that lets one constant express both
+    # decisions: slack × small-budget == historical MIN_ROWS floor
+    assert int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS) \
+        == fr.PREFILTER_MIN_ROWS
+    # floor never drops below MIN_ROWS even for mid-size budgets
+    assert fr.prefilter_decision(50)[2] >= fr.PREFILTER_MIN_ROWS

@@ -133,6 +133,61 @@ def test_no_login_form_raises():
         build_login_request("http://x/login", html, "u", "p")
 
 
+def test_multi_user_login_deterministic_pick(spark, tmp_path):
+    """r4 (reference db.py:477-487 / login.py:116-127): a domain may
+    carry SEVERAL users; the reference picks one per attempt with
+    random.choice, we pick deterministically (crc32(job|host) over the
+    username-sorted list) so crawl ordering stays reproducible."""
+    from starbelly_spark.crawl import _pick_login_user
+
+    users = [("bob", "pw2"), ("alice", "pw1"), ("carol", "pw3")]
+    picked = _pick_login_user(users, "jobM", "h1.example")
+    # pure function: repeated calls and list order don't change the pick
+    assert picked == _pick_login_user(list(reversed(users)), "jobM",
+                                      "h1.example")
+    assert picked in users
+    # different job/host may pick differently but always deterministically
+    import zlib
+
+    i = zlib.crc32(b"jobM|h1.example") % 3
+    assert picked == sorted(users)[i]
+
+    root = str(tmp_path / "mu")
+    start_job(spark, root, "jobM", WEB.seeds(2), POLICY, WEB, SETTINGS,
+              domain_logins=[("h1.example", u, p) for u, p in users])
+    m = run_crawl(spark, root, "jobM", max_batches=6)
+    # one session per credentialed DOMAIN (not per user), same token
+    # shape as the single-user flow
+    assert m["sessions"] == {
+        "h1.example": session_token("jobM", "h1.example")
+    }
+    assert "login_failed" not in m["counters"]
+
+
+def test_login_failure_continues_unauthenticated(spark, tmp_path, monkeypatch):
+    """r4 (advisor): a login-form classification failure must NOT abort
+    the batch — the reference logs and crawls the host unauthenticated
+    (login.py:141-145)."""
+    import starbelly_spark.login as login_mod
+
+    def _boom(*a, **k):
+        raise ValueError("Can't find login form")
+
+    monkeypatch.setattr(login_mod, "build_login_request", _boom)
+    root = str(tmp_path / "lf")
+    start_job(spark, root, "jobF", WEB.seeds(2), POLICY, WEB, SETTINGS,
+              domain_logins=LOGINS)
+    m = run_crawl(spark, root, "jobF", max_batches=200)
+    assert m["run_state"] == "completed"          # crawl did not abort
+    assert m["sessions"] == {}                    # no session established
+    assert m["counters"]["login_failed"] >= 1
+    store = JobStore(spark, root, "jobF")
+    res = store.table(m, "results")
+    h1 = res.where(F.col("url").startswith("http://h1.example/"))
+    assert h1.count() > 0                         # host still crawled
+    assert h1.where(F.col("authenticated")).count() == 0
+
+
 def test_login_form_beats_lookalike_without_password():
     """A form whose ACTION says login but has no password field must
     lose to the real login form (the classifier scores, not the URL)."""

@@ -166,3 +166,46 @@ def test_first_seen_state_is_bounded(spark):
     all2 = pd.concat(out2)
     assert int((~all2["maybe_dup"]).sum()) == 490
     assert int(all2["maybe_dup"].sum()) == 10
+
+
+def test_first_seen_dedups_across_arrow_chunks(spark):
+    """r4 regression (advisor finding): applyInPandasWithState may
+    deliver ONE micro-batch as SEVERAL Arrow chunks.  A URL repeated
+    across chunks of the same batch must be emitted exactly once — not
+    once sure (chunk 1) plus once maybe_dup (chunk 2, bloom hit from
+    the chunk-1 add), which the downstream exact rescue could not
+    remove because the external seen table doesn't hold this batch's
+    rows yet."""
+    import hashlib
+
+    import pandas as pd
+
+    from starbelly_spark.streaming.events import make_first_seen_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, tup):
+            self.get = tup
+            self.exists = True
+
+    def batch(urls):
+        return pd.DataFrame({
+            "url": urls,
+            "url_hash": [hashlib.blake2b(u.encode(), digest_size=16).digest()
+                         for u in urls],
+        })
+
+    fn = make_first_seen_fn(1 << 13, 42, "t")
+    # one invocation, three chunks; a/1 repeats in chunks 1+2+3 and
+    # a/2 repeats in chunks 2+3
+    chunks = [
+        batch(["http://a/1", "http://a/0"]),
+        batch(["http://a/1", "http://a/2"]),
+        batch(["http://a/2", "http://a/3", "http://a/1"]),
+    ]
+    out = pd.concat(list(fn((0,), chunks, FakeState())))
+    # each URL exactly once, all as definite firsts (fresh bloom)
+    assert sorted(out["url"]) == [f"http://a/{i}" for i in range(4)]
+    assert not out["maybe_dup"].any()

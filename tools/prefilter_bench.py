@@ -4,8 +4,8 @@ The ratio-gated pre-filter (operators/frontier.py) exists for the
 10^10-frontier regime: pop budget ≪ pending frontier.  The committed
 crawl bench runs at ratio ~3, where the gate correctly stays dormant —
 so this bench builds the high-ratio case the filter is FOR (20M-row
-pending frontier, 20k budget → ratio 1000) and measures, in two fresh
-subprocesses:
+pending frontier, 60k budget → ratio ~333; a 20k budget would leave
+the engage gate dormant) and measures, in two fresh subprocesses:
 
 * the popped output hash with the filter ENGAGED vs force-DISABLED
   (must be identical — the filter is provably exact); and

@@ -33,6 +33,7 @@ import sys
 import textwrap
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 CHILD = textwrap.dedent(
     """
@@ -142,6 +143,17 @@ Raw per-pair JSON: BENCH/scaling_runs.jsonl
 
 
 def main() -> None:
+    # snapshot hygiene (r3 verdict #1): never start on a box that is
+    # already benching, and never run past the deadline into a round
+    # snapshot — a leftover instance is exactly what crashed BENCH_r03
+    import time as _time
+
+    from bench import hygiene_check
+
+    hygiene_check()
+    deadline = _time.monotonic() + float(
+        os.environ.get("SCALE_MAX_SEC", "5400")
+    )
     cfg = {
         "n_hosts": int(os.environ.get("SCALE_HOSTS", "2048")),
         "pages": int(os.environ.get("SCALE_PAGES", "20000000")),
@@ -162,6 +174,10 @@ def main() -> None:
 
     pairs: list[dict] = []
     for i in range(n_pairs):
+        if _time.monotonic() > deadline:
+            print(f"SCALE_MAX_SEC deadline hit after {len(pairs)} pairs — "
+                  "stopping (snapshot hygiene)", flush=True)
+            break
         order = ["lo-first", "hi-first"][i % 2]
         levels = (cfg["lo"], cfg["hi"]) if order == "lo-first" else \
                  (cfg["hi"], cfg["lo"])
