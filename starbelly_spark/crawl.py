@@ -641,7 +641,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
         cost_expr(policy, F.col("url"), F.col("parent_cost"), seed_domains),
     ).where(cost_gate_expr(policy, F.col("cost")))
 
-    robots_rules = synthetic_robots_rules(spark, web.n_hosts, web.seed)
+    # robots rules are static per job — build the (2048-row) driver
+    # DataFrame once per store instead of re-serializing it every batch
+    robots_rules = getattr(store, "_robots_rules", None)
+    if robots_rules is None:
+        robots_rules = synthetic_robots_rules(spark, web.n_hosts, web.seed)
+        store._robots_rules = robots_rules
     # row_key_cols: each (url, parent, pos) row gets its own robots
     # decision so the first-parent dedup below is the ONLY collapse
     # point (a url-only window here would keep an arbitrary parent)
