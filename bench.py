@@ -141,9 +141,20 @@ def hygiene_check() -> None:
     for leak in glob.glob("/dev/shm/crawlbench_*"):
         print(f"bench: removing stale tmpfs state {leak}", file=sys.stderr)
         shutil.rmtree(leak, ignore_errors=True)
-    me = os.getpid()
+    # exclude self AND ancestors (the launching shell's cmdline quotes
+    # the bench command and would false-positive)
+    skip = set()
+    p = os.getpid()
+    while p > 1:
+        skip.add(p)
+        try:
+            with open(f"/proc/{p}/status") as f:
+                p = int(next(ln for ln in f if ln.startswith("PPid:"))
+                        .split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
     for pid in os.listdir("/proc"):
-        if not pid.isdigit() or int(pid) == me:
+        if not pid.isdigit() or int(pid) in skip:
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:

@@ -822,7 +822,11 @@ def run_batch(store: JobStore, m: dict) -> dict:
     writes = {
         "results": ("results", results_out, None),
         "frontier_add": ("frontier_add", salted, None),
-        "frontier_del": ("frontier_del", popped.select("url_hash"), 1),
+        # 4-way, not coalesce(1): a single-task parquet encode of the
+        # 300k-hash tombstone list is pure serial time (identical at
+        # every parallelism level); 4 files/batch stays tiny and the
+        # list is cleared at every compaction anyway
+        "frontier_del": ("frontier_del", popped.select("url_hash"), 4),
         "seen_segments": ("seen_segments", new_segments, None),
         "politeness": ("politeness", pol_update, 1),
         "metrics": ("metrics", metrics, 1),
@@ -935,6 +939,19 @@ def run_batch(store: JobStore, m: dict) -> dict:
         t["politeness"] = [pol_base_rel]
         # compacted base = exactly the distinct hosts (footer count)
         nm["politeness_log_rows"] = store.read_dirs([pol_base_rel]).count()
+        # seen_exact was the last UNBOUNDED dir list (one frontier_add
+        # alias per batch): the per-batch exact-rescue scan re-listed
+        # and re-planned N dirs on the DRIVER, a serial cost that GREW
+        # with batch index (measured: scaling efficiency decayed as the
+        # measurement window moved to later batches).  Rewrite it to
+        # one base dir on the same cadence as the other logs.  Rows
+        # are unique by construction (only split_new_urls survivors are
+        # ever appended), so this is a pure re-layout.
+        seen_base = store.table(nm, "seen_exact", SEEN_EXACT_SCHEMA) \
+            .select("url_hash")
+        t["seen_exact"] = [
+            store.write_dir("seen_exact_base", batch_id, seen_base)
+        ]
         _mark("compaction")
 
     c = nm["counters"]

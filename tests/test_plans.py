@@ -123,3 +123,41 @@ def test_exact_jaccard_pairs_is_jvm_side(spark):
     df = exact_jaccard_pairs(docs, 0.1, shingle_n=2)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_politeness_update_has_no_python_udf_after_fetch(spark):
+    """r4 (verdict #4): `host` rides through the fetch kernel as a
+    passthrough column, so the politeness update plan contains exactly
+    ONE Python-eval stage — the fetch itself (mapInPandas) — and no
+    second host_udf pass between the fetch and the per-host agg."""
+    from pyspark.sql import functions as F
+
+    from starbelly_spark.politeness import politeness_updates
+    from starbelly_spark.sources.synthetic_web import (
+        WebConfig,
+        fetch_schema_with,
+        make_fetch_batches,
+    )
+
+    web = WebConfig(n_hosts=3, total_pages=20, branching=2, seed=1)
+    popped = spark.createDataFrame(
+        [(u, f"h{i % 3}.example") for i, u in
+         enumerate(f"http://h{i % 3}.example/p{i}" for i in range(6))],
+        "url string, host string",
+    )
+    fetched = popped.mapInPandas(
+        make_fetch_batches(web, passthrough=("host",)),
+        schema=fetch_schema_with("host string"),
+    )
+    completions = fetched.select(
+        "host", (F.col("latency_ms") / 1000.0).alias("completion_ts")
+    )
+    pol = politeness_updates(completions, None, None, global_delay=1.0,
+                             obey_crawl_delay=False)
+    plan = formatted_plan(pol)
+    # exactly one python stage: the fetch kernel (MapInPandas); the
+    # host column is never recomputed by a row-wise python UDF
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the per-host max is map-side combined (partial agg)
+    assert "partial_max" in plan or "partial_finalmerge" in plan, plan
