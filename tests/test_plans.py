@@ -156,8 +156,10 @@ def test_politeness_update_has_no_python_udf_after_fetch(spark):
                              obey_crawl_delay=False)
     plan = formatted_plan(pol)
     # exactly one python stage: the fetch kernel (MapInPandas); the
-    # host column is never recomputed by a row-wise python UDF
-    assert plan.count("MapInPandas") == 1, plan
+    # host column is never recomputed by a row-wise python UDF.
+    # (formatted plans print each node twice — tree + detail — so
+    # count the tree form "MapInPandas (<id>")
+    assert plan.count("MapInPandas (") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # and the per-host max is map-side combined (partial agg)
     assert "partial_max" in plan or "partial_finalmerge" in plan, plan
