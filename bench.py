@@ -127,20 +127,25 @@ def crawl_bench(spark, n_hosts=2048, total_pages=20_000_000,
     }
 
 
-def hygiene_check() -> None:
-    """Snapshot hygiene (r3 verdict #1): BENCH_r03 was a crash artifact
-    because a leftover scaling_bench (two crawl JVMs + leaked tmpfs
-    state) contended the box while the driver benched.  Before
-    measuring: (a) delete stale /dev/shm/crawlbench_* dirs from
-    SIGKILLed runs, (b) loudly warn on stderr if another
-    scaling/prefilter bench process is alive — the numbers will be
-    contended and should not be trusted."""
+def hygiene_check(warn_load: bool = True) -> dict:
+    """Snapshot hygiene (r3/r4 verdicts): BENCH_r03 was a crash
+    artifact from a leftover scaling bench contending the box, and
+    BENCH_r04 understated throughput ~13% because the box carried
+    generic load at snapshot time.  Before measuring:
+
+    1. detect competing bench PROCESSES (scaling/prefilter/bench);
+       when one is alive, warn loudly and do NOT touch its tmpfs state;
+    2. only when no competing bench is alive, delete stale
+       ``/dev/shm/crawlbench_*`` dirs leaked by SIGKILLed runs;
+    3. read the 1-min load average — generic load the process scan
+       can't see — and warn above ``LOAD_WARN``.
+
+    Returns the readings; ``main`` records them in the JSON artifact so
+    a judge can tell a quiet-box number from a contended one."""
     import glob
     import shutil
 
-    for leak in glob.glob("/dev/shm/crawlbench_*"):
-        print(f"bench: removing stale tmpfs state {leak}", file=sys.stderr)
-        shutil.rmtree(leak, ignore_errors=True)
+    LOAD_WARN = 2.0
     # exclude self AND ancestors (the launching shell's cmdline quotes
     # the bench command and would false-positive)
     skip = set()
@@ -153,6 +158,7 @@ def hygiene_check() -> None:
                         .split()[1])
         except (OSError, StopIteration, ValueError):
             break
+    competing: list[str] = []
     for pid in os.listdir("/proc"):
         if not pid.isdigit() or int(pid) in skip:
             continue
@@ -163,20 +169,50 @@ def hygiene_check() -> None:
             continue
         if any(tok in cmd for tok in
                ("scaling_bench", "prefilter_bench", "crawl_bench",
-                "bench.py")):
+                "bench.py", "diag_lo")):
+            competing.append(f"{pid}: {cmd[:160]}")
             print(
                 f"bench: WARNING — competing bench process {pid} is "
                 f"running ({cmd[:160]}); this measurement is CONTENDED "
                 "and should be rerun on a quiet box",
                 file=sys.stderr,
             )
+    stale = glob.glob("/dev/shm/crawlbench_*")
+    if competing:
+        # a live bench may still be using those dirs — removing them
+        # would crash it mid-run; leave them and flag instead
+        if stale:
+            print(f"bench: leaving {len(stale)} tmpfs dir(s) in place — "
+                  "a competing bench may own them", file=sys.stderr)
+    else:
+        for leak in stale:
+            print(f"bench: removing stale tmpfs state {leak}",
+                  file=sys.stderr)
+            shutil.rmtree(leak, ignore_errors=True)
+    try:
+        with open("/proc/loadavg") as f:
+            load_1m = float(f.read().split()[0])
+    except (OSError, ValueError):
+        load_1m = -1.0
+    if warn_load and load_1m > LOAD_WARN:
+        print(
+            f"bench: WARNING — 1-min load average {load_1m:.2f} > "
+            f"{LOAD_WARN}; the box is LOADED and this measurement will "
+            "understate the engine — rerun when quiet",
+            file=sys.stderr,
+        )
+    return {
+        "load_1m": load_1m,
+        "loaded": warn_load and load_1m > LOAD_WARN,
+        "competing_processes": competing,
+    }
 
 
 def main() -> None:
     import __spark_entry__ as entrymod
     from starbelly_spark.session import get_spark
 
-    hygiene_check()
+    hygiene = hygiene_check()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -186,6 +222,11 @@ def main() -> None:
         fn = RAW_OVERRIDES.get(name, qs[name])
         per_query[name] = round(_run_query(spark, fn, sf_dir), 3)
 
+    # re-scan for competitors just before the throughput section (the
+    # suite above ran ~30s); the load reading here includes OUR OWN
+    # just-finished suite, so it is recorded but not warned on
+    hygiene_pre_crawl = hygiene_check(warn_load=False)
+    hygiene_pre_crawl["note"] = "load includes this bench's own suite"
     crawl = crawl_bench(spark)
 
     total = round(sum(per_query.values()), 3)
@@ -196,6 +237,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "crawl": crawl,
+        "hygiene": {"at_start": hygiene, "before_crawl": hygiene_pre_crawl},
     }
     print(json.dumps(out))
 

@@ -27,6 +27,10 @@ from .tableio import JobStore
 
 def _results(store: JobStore) -> DataFrame:
     m = store.latest_manifest()
+    if m is None:
+        # deleted or never-started job (reference raises
+        # InvalidRequestException "No job exists", server/job.py:28-30)
+        raise ValueError(f"no job exists with id {store.job_id}")
     return store.table(m, "results")
 
 

@@ -63,6 +63,7 @@ from .policy import (
     mime_save_expr,
     proxy_expr,
     scheme_filter_expr,
+    user_agent_expr,
 )
 from .politeness import (
     POLITENESS_LOG_SCHEMA,
@@ -88,8 +89,10 @@ from .sources.synthetic_web import (
 from .tableio import (
     FRONTIER_SCHEMA,
     SEEN_EXACT_SCHEMA,
+    SEEN_MAX_DIRS,
     JobStore,
     new_manifest,
+    plan_seen_compaction,
 )
 
 logger = logging.getLogger(__name__)
@@ -173,7 +176,7 @@ def _policy_to_doc(policy: Policy) -> dict:
             "obey_crawl_delay": policy.robots.obey_crawl_delay,
             "read_sitemaps": policy.robots.read_sitemaps,
         },
-        "user_agents": [{"name": policy.user_agent}],
+        "user_agents": [{"name": a} for a in policy.agents()],
         "captcha_solver_id": policy.captcha_solver_id,
         # terminal rule must omit pattern/match keys (from_doc rejects
         # them, mirroring reference policy.py:471-475)
@@ -321,6 +324,19 @@ def _pick_login_user(users: list[tuple[str, str]], job_id: str,
     return ordered[i]
 
 
+def _clear_carry(store: JobStore) -> None:
+    """Drop an unconsumed next-batch carry and free its checkpointed
+    hosts DF (early-limit returns and run_crawl exit paths must not
+    leak executor storage)."""
+    carry = getattr(store, "_carry", None)
+    store._carry = None
+    if carry is not None:
+        try:
+            carry["hosts"].unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def _load_context(store: JobStore, m: dict):
     policy = _doc_to_policy(m["policy"])
     web = WebConfig(**m["web"])
@@ -331,14 +347,19 @@ def _load_context(store: JobStore, m: dict):
 def run_batch(store: JobStore, m: dict) -> dict:
     """Run ONE micro-batch; returns the committed manifest."""
     profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
-    _t0 = time.perf_counter()
+    _t0 = _t_batch0 = time.perf_counter()
+    _marks: dict[str, float] = {}
 
     def _mark(label):
+        # per-stage wall times are ALWAYS recorded (a handful of floats
+        # committed with the manifest — the performance_profile API
+        # reads them back); the env var only controls live printing
         nonlocal _t0
+        now = time.perf_counter()
+        _marks[label] = round(now - _t0, 3)
         if profile:
-            now = time.perf_counter()
             print(f"  [profile] {label}: {now - _t0:.2f}s", flush=True)
-            _t0 = now
+        _t0 = now
 
     spark = store.spark
     job_id = store.job_id
@@ -359,11 +380,13 @@ def run_batch(store: JobStore, m: dict) -> dict:
         nm["run_state"] = "completed"
         nm["completion_reason"] = "max_items"
         store.commit(nm)
+        _clear_carry(store)
         return nm
     if lim.max_duration is not None and clock >= lim.max_duration:
         nm["run_state"] = "completed"
         nm["completion_reason"] = "max_duration"
         store.commit(nm)
+        _clear_carry(store)
         return nm
     budget = settings.budget
     if lim.max_items is not None:
@@ -577,12 +600,20 @@ def run_batch(store: JobStore, m: dict) -> dict:
             & (F.floor(F.col("status_code") / 100) == 2),
         )
         .withColumn("is_saved", mime_save_expr(policy, F.col("content_type")))
+        # headers = flattened KV pairs; the request's USER-AGENT is
+        # recorded alongside the response CONTENT-TYPE (multi-agent
+        # rotation observable per row — reference downloader.py:279-280
+        # sets one User-Agent per request from the policy's list)
         .withColumn(
             "headers",
-            F.when(
-                F.col("content_type").isNotNull(),
-                F.array(F.lit("CONTENT-TYPE"), F.col("content_type")),
-            ).otherwise(F.array().cast("array<string>")),
+            F.concat(
+                F.when(
+                    F.col("content_type").isNotNull(),
+                    F.array(F.lit("CONTENT-TYPE"), F.col("content_type")),
+                ).otherwise(F.array().cast("array<string>")),
+                F.array(F.lit("USER-AGENT"),
+                        user_agent_expr(policy, F.col("url"))),
+            ),
         )
     )
     # body_id = blake2b-16 of the body when saved (storage.py:96)
@@ -680,7 +711,7 @@ def run_batch(store: JobStore, m: dict) -> dict:
     segments = latest_segments(
         store.table(m, "seen_segments", SEGMENT_LOG_SCHEMA)
     )
-    seen_exact = store.table(m, "seen_exact", SEEN_EXACT_SCHEMA)
+    seen_exact = store.seen_exact(m)
     new_urls = split_new_urls(
         candidates, segments, seen_exact, params, job_id
     ).cache()
@@ -781,22 +812,18 @@ def run_batch(store: JobStore, m: dict) -> dict:
         if r["status_code"] is not None
     }
     n_new = sum(r["links_new"] for r in lineage_rows)
-    metrics = spark.createDataFrame(
-        [(
-            job_id, batch_id, n_popped, int(stats["fetched"]),
-            n_links_discovered, n_new, int(stats["images"]),
-            int(stats["bytes"]), clock, clock_end,
-        )],
-        METRICS_SCHEMA,
-    )
-    lineage = spark.createDataFrame(
-        [
-            (job_id, batch_id, int(r["partition_id"]),
-             int(r["links_new"]), int(r["links_new"]))
-            for r in lineage_rows
-        ],
-        LINEAGE_SCHEMA,
-    )
+    # metrics + lineage rows already live on the driver — written
+    # driver-side (tableio.write_rows_dir), not as Spark jobs
+    metrics_rows = [(
+        job_id, batch_id, n_popped, int(stats["fetched"]),
+        n_links_discovered, n_new, int(stats["images"]),
+        int(stats["bytes"]), clock, clock_end,
+    )]
+    lineage_rows_out = [
+        (job_id, batch_id, int(r["partition_id"]),
+         int(r["links_new"]), int(r["links_new"]))
+        for r in lineage_rows
+    ]
 
     # ---- COMMIT --------------------------------------------------------------
     # All 8 state writes are independent Spark jobs over cached inputs →
@@ -829,8 +856,6 @@ def run_batch(store: JobStore, m: dict) -> dict:
         "frontier_del": ("frontier_del", popped.select("url_hash"), 4),
         "seen_segments": ("seen_segments", new_segments, None),
         "politeness": ("politeness", pol_update, 1),
-        "metrics": ("metrics", metrics, 1),
-        "lineage": ("lineage", lineage, 1),
     }
     def _write_politeness():
         rel = store.write_dir("politeness", batch_id, pol_update, 1)
@@ -882,23 +907,46 @@ def run_batch(store: JobStore, m: dict) -> dict:
                 and next_frontier_size >= CARRY_MIN_FRONTIER)
     carry_hosts = None
     writes.pop("politeness")
-    with ThreadPoolExecutor(max_workers=len(writes) + 2) as pool:
-        futures = {
-            key: pool.submit(store.write_dir, table, batch_id, df, co)
-            for key, (table, df, co) in writes.items()
-        }
-        f_pol = pool.submit(_write_politeness)
-        f_carry = pool.submit(_next_carry) if do_carry else None
-        rels = {key: f.result() for key, f in futures.items()}
-        rels["politeness"], pol_rows_written = f_pol.result()
-        if f_carry is not None:
+    f_carry = None
+    try:
+        with ThreadPoolExecutor(max_workers=len(writes) + 2) as pool:
+            futures = {
+                key: pool.submit(store.write_dir, table, batch_id, df, co)
+                for key, (table, df, co) in writes.items()
+            }
+            f_pol = pool.submit(_write_politeness)
+            f_carry = pool.submit(_next_carry) if do_carry else None
+            # driver-local pyarrow writes (~ms each; rows are already
+            # collected) — no Spark job, zero scheduler latency
+            rels = {
+                "metrics": store.write_rows_dir(
+                    "metrics", batch_id, metrics_rows, METRICS_SCHEMA),
+                "lineage": store.write_rows_dir(
+                    "lineage", batch_id, lineage_rows_out, LINEAGE_SCHEMA),
+            }
+            rels.update({key: f.result() for key, f in futures.items()})
+            rels["politeness"], pol_rows_written = f_pol.result()
+            if f_carry is not None:
+                try:
+                    carry_hosts, carry_t = f_carry.result()
+                except Exception:
+                    logger.warning("next-batch carry precompute failed; the "
+                                   "next batch will recompute on the spot",
+                                   exc_info=True)
+                    carry_hosts = None
+    except Exception:
+        # a failed commit write must not leak the checkpointed carry
+        # hosts DF (it would pin executor memory for the crawl's life) —
+        # reap the carry future (the pool context already joined it)
+        # and unpersist whatever it produced
+        if carry_hosts is None and f_carry is not None:
             try:
-                carry_hosts, carry_t = f_carry.result()
+                carry_hosts = f_carry.result()[0]
             except Exception:
-                logger.warning("next-batch carry precompute failed; the "
-                               "next batch will recompute on the spot",
-                               exc_info=True)
                 carry_hosts = None
+        if carry_hosts is not None:
+            carry_hosts.unpersist()
+        raise
     nm["politeness_log_rows"] = int(pol_rows) + int(pol_rows_written)
     if carry_hosts is not None:
         store._carry = {
@@ -939,20 +987,31 @@ def run_batch(store: JobStore, m: dict) -> dict:
         t["politeness"] = [pol_base_rel]
         # compacted base = exactly the distinct hosts (footer count)
         nm["politeness_log_rows"] = store.read_dirs([pol_base_rel]).count()
-        # seen_exact was the last UNBOUNDED dir list (one frontier_add
-        # alias per batch): the per-batch exact-rescue scan re-listed
-        # and re-planned N dirs on the DRIVER, a serial cost that GREW
-        # with batch index (measured: scaling efficiency decayed as the
-        # measurement window moved to later batches).  Rewrite it to
-        # one base dir on the same cadence as the other logs.  Rows
-        # are unique by construction (only split_new_urls survivors are
-        # ever appended), so this is a pure re-layout.
-        seen_base = store.table(nm, "seen_exact", SEEN_EXACT_SCHEMA) \
-            .select("url_hash")
-        t["seen_exact"] = [
-            store.write_dir("seen_exact_base", batch_id, seen_base)
-        ]
         _mark("compaction")
+
+    # seen_exact LEVELED compaction (size-tiered, checked every batch —
+    # r4 verdict #5: the former full rewrite each `compact_every` was a
+    # whole-table rewrite on a fixed clock; at 10^10 URLs the IO must be
+    # bounded by NEW data, not total seen-set size).  Merge only the
+    # small dirs; a dir ≥ MERGE_FACTOR × its smaller siblings is left
+    # untouched (see tableio.plan_seen_compaction for the O(log)
+    # write-amplification argument).  Rows are unique by construction
+    # (only split_new_urls survivors are ever appended), so a merge is a
+    # pure re-layout; kill/resume exactness holds because the new level
+    # becomes visible only via this manifest's atomic commit.
+    seen_rels = t["seen_exact"]
+    if len(seen_rels) > SEEN_MAX_DIRS:
+        merge, keep = plan_seen_compaction(
+            [(rel, store.dir_bytes(rel)) for rel in seen_rels]
+        )
+        if merge:
+            merged_hashes = store.read_dirs(
+                merge, SEEN_EXACT_SCHEMA
+            ).select("url_hash")
+            t["seen_exact"] = keep + [
+                store.write_dir("seen_exact_base", batch_id, merged_hashes)
+            ]
+            _mark("seen_compact")
 
     c = nm["counters"]
     c["item_count"] += int(stats["fetched"])
@@ -967,6 +1026,8 @@ def run_batch(store: JobStore, m: dict) -> dict:
         nm["frontier_size"] = max(
             0, int(m["frontier_size"]) - n_popped + n_new
         )
+    _marks["total"] = round(time.perf_counter() - _t_batch0, 3)
+    nm["profile"] = _marks
     store.commit(nm)
 
     for df in (frontier, hosts, popped, fetched, results_out, new_urls):
@@ -1004,6 +1065,9 @@ def run_crawl(
         latest = store.latest_manifest()
         if latest is not None and latest["batch_id"] != m["batch_id"]:
             m = latest
+    # a pending carry must not outlive the loop (its checkpointed
+    # hosts DF pins executor storage; a later run_crawl recomputes)
+    _clear_carry(store)
     return m
 
 
@@ -1041,6 +1105,27 @@ def cancel_job(spark: SparkSession, root: str, job_id: str) -> dict:
     return nm
 
 
+def delete_job(spark: SparkSession, root: str, job_id: str) -> None:
+    """Delete a finished job and ALL of its stored state — results,
+    frontier, seen set, politeness, metrics, manifests (the analogue of
+    the reference's ``delete_job``:
+    ``/root/reference/starbelly/db.py:910-935`` deletes the job doc +
+    every response row, ``server/job.py:17-30`` exposes it).  Guarded
+    on run state exactly as the reference: only CANCELLED or COMPLETED
+    jobs may be deleted — data retention is an operator action, never a
+    side effect of a running crawl."""
+    import shutil
+
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    if m is None:
+        raise ValueError(f"job {job_id} not started")
+    if m["run_state"] not in ("cancelled", "completed"):
+        raise ValueError("Can only delete cancelled or completed jobs.")
+    _clear_carry(store)
+    shutil.rmtree(store.dir, ignore_errors=True)
+
+
 def set_rate_limit(spark: SparkSession, root: str, job_id: str,
                    host: str, delay: float | None) -> dict:
     """Mid-crawl per-host rate-limit update — the analogue of the
@@ -1066,9 +1151,78 @@ def set_rate_limit(spark: SparkSession, root: str, job_id: str,
     return nm
 
 
+def performance_profile(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    last_n: int = 20,
+    cprofile: bool = False,
+    top_n: int = 20,
+) -> dict:
+    """On-demand engine profile — the analogue of the reference's
+    ``performance_profile`` API (``/root/reference/starbelly/server/
+    system.py:11-46``: cProfile the running event loop for a duration,
+    return the top functions).  Two surfaces:
+
+    * ``stages``: per-stage wall times of the last ``last_n`` committed
+      micro-batches (the ``_mark`` instrumentation, persisted in each
+      manifest — readable from any process, survives restarts), plus
+      per-stage totals across those batches;
+    * ``functions`` (``cprofile=True``): run ONE micro-batch of a
+      RUNNING job under ``cProfile`` and return the ``top_n`` rows by
+      cumulative time — like the reference, profiling *advances* the
+      live engine (the reference profiles the serving loop while it
+      serves).  Omitted for paused/finished jobs.
+    """
+    store = JobStore(spark, root, job_id)
+    m = store.latest_manifest()
+    if m is None:
+        raise ValueError(f"no job exists with id {job_id}")
+    batches = []
+    bid = m["batch_id"]
+    while bid >= 0 and len(batches) < last_n:
+        mm = store.manifest_at(bid)
+        bid -= 1
+        if mm is None:
+            continue
+        if mm.get("profile"):
+            batches.append({"batch_id": mm["batch_id"], **mm["profile"]})
+    batches.reverse()
+    totals: dict[str, float] = {}
+    for b in batches:
+        for k, v in b.items():
+            if k != "batch_id":
+                totals[k] = round(totals.get(k, 0.0) + v, 3)
+    out: dict = {"job_id": job_id, "stages": batches,
+                 "stage_totals": totals}
+    if cprofile and m["run_state"] == "running":
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        prof.enable()
+        run_batch(store, m)
+        prof.disable()
+        st = pstats.Stats(prof)
+        st.sort_stats("cumulative")
+        rows = []
+        for func, (cc, nc, tt, ct, _callers) in st.stats.items():
+            fn, line, name = func
+            rows.append({
+                "function": f"{os.path.basename(fn)}:{line}({name})",
+                "ncalls": nc, "tottime": round(tt, 4),
+                "cumtime": round(ct, 4),
+            })
+        rows.sort(key=lambda r: -r["cumtime"])
+        out["functions"] = rows[:top_n]
+    return out
+
+
 def job_stats(spark: SparkSession, root: str, job_id: str) -> dict:
     store = JobStore(spark, root, job_id)
     m = store.latest_manifest()
+    if m is None:
+        raise ValueError(f"no job exists with id {job_id}")
     return {
         "run_state": m["run_state"],
         "completion_reason": m.get("completion_reason"),

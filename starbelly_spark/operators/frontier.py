@@ -90,21 +90,28 @@ def pop_batch(
 # host-rank window otherwise shuffles the ENTIRE pending frontier
 # every batch — at 10^10 pending URLs with a 300k budget that is a
 # ~30,000× overshuffle.  The pre-filter keeps ~slack×budget of the
-# cheapest rows (an approxQuantile cut: scan-only, no shuffle) and is
-# EXACT: if the per-host-capped survivors of the filtered set still
-# fill the budget, every dropped row (cost strictly above the cut)
-# ranks after all of them, so the result is identical; if they don't
-# (pathological skew ate the cheap rows), we fall back to the full
-# window.  Either path is a pure function of table state.
+# cheapest rows (a cost-histogram cut: ONE scan-only agg job, no
+# shuffle) and is EXACT: if the per-host-capped survivors of the
+# filtered set still fill the budget, every dropped row (cost strictly
+# above the cut) ranks after all of them — within each host the
+# ``cost <= cut`` rows are a PREFIX of the host's (cost, tie) order,
+# so per-host capping commutes with the filter — and the result is
+# identical; if they don't (pathological skew ate the cheap rows), we
+# fall back to the full window.  Either path is a pure function of
+# table state.
 PREFILTER_SLACK = 4.0
 PREFILTER_MIN_ROWS = 200_000
-# Engage only when the pending frontier dwarfs the target: the count +
-# approxQuantile passes cost real per-batch seconds, so below this
-# frontier/target ratio the straight window is FASTER (measured: at
-# ratio ~3 the pre-filter cost local[8] ~10s/batch and tanked scaling
-# efficiency 0.81→0.51; at ratio 10^4+ — the 10^10-URL regime — the
-# avoided shuffle dominates by orders of magnitude).
-PREFILTER_RATIO = 8
+# Engage when the pending frontier exceeds ratio × target.  r5: the
+# probe is now ONE aggregation job on the cached frontier (histogram
+# replaces the r2-era count + approxQuantile pair that cost ~10s/batch
+# at local[8] and forced ratio 8); with the probe nearly free the
+# filter pays for itself as soon as it halves the window input.
+PREFILTER_RATIO = 2
+# cost-histogram resolution: cost*16 buckets (1/16 cost-unit granularity)
+# capped at _HIST_MAX — coarser buckets only weaken narrowing, never
+# correctness (the cut always KEEPS every row at or below it)
+_HIST_SCALE = 16
+_HIST_MAX = 1 << 16
 # One budget threshold expresses BOTH physical-strategy decisions
 # (r3 verdict nit — three overlapping constants expressed one
 # decision): below it the budget cut is orderBy+limit (TakeOrdered
@@ -142,33 +149,58 @@ def _host_capped(df: DataFrame, per_host_k: int) -> DataFrame:
     )
 
 
+def _cost_cut(df: DataFrame, target: int) -> tuple[float | None, int]:
+    """ONE aggregation job over the (cached) pending frontier: a cost
+    histogram at 1/``_HIST_SCALE`` granularity.  Returns ``(cut, n)``
+    where ``n`` is the exact post-eligibility row count and ``cut`` is
+    the smallest bucket upper edge whose cumulative count ≥ target —
+    i.e. ``cost <= cut`` keeps AT LEAST ``target`` rows.  ``cut`` is
+    None when the histogram can't narrow (all mass at/above the last
+    open bucket).  Replaces the former count + approxQuantile pair
+    (two scans, two jobs) with one map-side-combined agg."""
+    b = F.least(
+        F.floor(F.col("cost") * _HIST_SCALE).cast("long"),
+        F.lit(_HIST_MAX - 1),
+    )
+    rows = df.groupBy(b.alias("_b")).agg(F.count("*").alias("n")).collect()
+    hist = sorted((int(r["_b"]), int(r["n"])) for r in rows)
+    n = sum(c for _, c in hist)
+    cum = 0
+    for bucket, c in hist:
+        cum += c
+        if cum >= target:
+            if bucket >= _HIST_MAX - 1:
+                return None, n  # open last bucket — cut would be a lie
+            # keep every row in buckets ≤ this one: upper edge inclusive
+            return (bucket + 1) / _HIST_SCALE, n
+    return None, n  # fewer rows than target — no narrowing needed
+
+
 def _pop_ranked(df: DataFrame, budget: int, per_host_k: int,
                 with_rank: bool, size_hint: int | None = None) -> DataFrame:
     worth_checking, target, floor = prefilter_decision(budget)
     if worth_checking:
         # size_hint (the crawl manifest's incrementally-maintained
-        # pending count) makes the common small-ratio decision FREE —
-        # no count job at all on the fast path
-        # size_hint is a pre-eligibility estimate; the count (only on
-        # the engage path) is the exact post-eligibility size for the
-        # cut.  A hintless call reuses its own exact count — one scan.
+        # pending count, a pre-eligibility overestimate) makes the
+        # common small-frontier decision FREE — no job at all.  On the
+        # engage path ONE histogram agg yields both the exact
+        # post-eligibility count and the cost cut.
         n_est = size_hint if size_hint is not None else df.count()
         if n_est > floor:
-            n = df.count() if size_hint is not None else n_est
-            if n > floor:
-                (cut,) = df.stat.approxQuantile(
-                    "cost", [target / n], 0.001
-                )
-                narrowed = df.where(F.col("cost") <= cut).persist()
+            cut, n = _cost_cut(df, target)
+            if n > floor and cut is not None:
+                narrowed = df.where(F.col("cost") <= cut)
                 survivors = _host_capped(narrowed, per_host_k).persist()
-                _PENDING_UNPERSIST.extend([narrowed, survivors])
+                _PENDING_UNPERSIST.append(survivors)
                 if survivors.count() >= budget:
-                    return _budget_cut(survivors, budget, with_rank)
+                    return _budget_cut(survivors, budget, with_rank,
+                                       input_cached=True)
                 # skew pathology: cheap rows were host-capped away —
                 # exact fallback to the unfiltered window
     return _budget_cut(_host_capped(df, per_host_k), budget, with_rank)
 
-def _budget_cut(df: DataFrame, budget: int, with_rank: bool) -> DataFrame:
+def _budget_cut(df: DataFrame, budget: int, with_rank: bool,
+                input_cached: bool = False) -> DataFrame:
     # global budget: top-`budget` by (cost, tie) — identical semantics
     # to rank() ≤ budget.  Physical strategy by k:
     #  * small k → orderBy+limit = TakeOrderedAndProject (per-partition
@@ -178,7 +210,10 @@ def _budget_cut(df: DataFrame, budget: int, with_rank: bool) -> DataFrame:
     #  * large k → range-partition + per-partition rank + offset filter
     #    (fully distributed; a TakeOrdered merge of P×k rows on the
     #    driver, or a single-partition window sort, would serialize) —
-    #    the exact global rank falls out for free.
+    #    the exact global rank falls out for free.  The input is
+    #    persisted first unless the caller already did: the range
+    #    partitioner's SAMPLING job executes the child plan, so an
+    #    uncached host-window sort would run twice per pop.
     # Which rows survive is a pure function of (cost, tie) either way.
     # (Pops are per job, as in the reference, db.py:103-140.)
     if budget < SMALL_BUDGET_ROWS:
@@ -187,6 +222,9 @@ def _budget_cut(df: DataFrame, budget: int, with_rank: bool) -> DataFrame:
             w = Window.partitionBy("job_id").orderBy("cost", "_tb")
             out = out.withColumn(POP_RANK, F.row_number().over(w).cast("long"))
     else:
+        if not input_cached:
+            df = df.persist()
+            _PENDING_UNPERSIST.append(df)
         ranked, total = global_rank(df, ["cost", "_tb"], POP_RANK)
         out = ranked if total <= budget else ranked.where(
             F.col(POP_RANK) <= budget

@@ -141,12 +141,33 @@ class Policy:
     robots: RobotsPolicy = field(default_factory=RobotsPolicy)
     normalization: Normalization = field(default_factory=Normalization)
     user_agent: str = "starbelly-spark/0.1"
+    # multi-user-agent rotation (reference policy.py:820-834 holds a
+    # LIST of agents; downloader.py:279-280 picks one per request via
+    # random.choice, robots.py:88 always checks the FIRST).  Empty ⇒
+    # the single ``user_agent``.  Per-request choice here is
+    # DETERMINISTIC — crc32(url) mod n (crawl order must be a pure
+    # function of state) — see ``agent_for`` / ``user_agent_expr``.
+    user_agents: tuple[str, ...] = ()
     # reference policies reference a captcha_solver by id; the solver
     # doc is joined in at job start (db.py:325-337) — see captcha.py
     captcha_solver_id: str | None = None
     # first-match proxy routing (policy.py:394-521); default = the
     # reference's "never proxy" single terminal rule
     proxy_rules: tuple[ProxyRule, ...] = (ProxyRule(),)
+
+    def agents(self) -> tuple[str, ...]:
+        """The effective user-agent list (≥1; first = robots agent)."""
+        return self.user_agents or (self.user_agent,)
+
+    def agent_for(self, url: str) -> str:
+        """Deterministic per-request agent: crc32(url) mod n — the
+        reproducible analogue of the reference's ``random.choice``
+        (``policy.py:829-834``).  Must agree with ``user_agent_expr``
+        bit-for-bit (Spark's ``crc32`` == ``zlib.crc32``)."""
+        import zlib
+
+        ag = self.agents()
+        return ag[zlib.crc32(url.encode()) % len(ag)]
 
     @staticmethod
     def from_doc(doc: dict) -> "Policy":
@@ -205,6 +226,9 @@ class Policy:
                 strip_parameters=tuple(norm.get("strip_parameters", ())),
             ),
             user_agent=(doc.get("user_agents") or [{"name": "starbelly-spark/0.1"}])[0]["name"],
+            user_agents=tuple(
+                d["name"] for d in doc.get("user_agents") or []
+            ),
             captcha_solver_id=doc.get("captcha_solver_id"),
             proxy_rules=proxy_rules,
         )
@@ -334,6 +358,23 @@ def proxy_expr(policy: Policy, url_col: Column) -> Column:
             cond = ~cond
         expr = F.when(cond, _val(rule)).otherwise(expr)
     return expr
+
+
+def user_agent_expr(policy: Policy, url_col: Column) -> Column:
+    """Per-request user-agent as a JVM expression: the agent list is a
+    literal array indexed by ``crc32(url) mod n`` — deterministic twin
+    of the reference's per-request ``random.choice``
+    (``starbelly/policy.py:829-834``, ``downloader.py:279-280``).
+    Robots checks use the FIRST agent only (``robots.py:88``) — that
+    path goes through ``policy.user_agent`` / ``agents()[0]``."""
+    ag = policy.agents()
+    if len(ag) == 1:
+        return F.lit(ag[0])
+    # F.get is 0-based and never throws under ANSI (unlike element_at)
+    return F.get(
+        F.array(*[F.lit(a) for a in ag]),
+        F.pmod(F.crc32(url_col.cast("binary")), F.lit(len(ag))).cast("int"),
+    )
 
 
 def scheme_filter_expr(url_col: Column) -> Column:

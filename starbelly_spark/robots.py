@@ -225,7 +225,8 @@ def apply_robots(
     # GROUP SELECTION first (reference semantics, test_robots.py:68-92:
     # a host with a specific-UA group uses THAT group ONLY — it
     # replaces '*', it does not merge with it)
-    agent = policy.user_agent.lower()
+    # robots checks always use the FIRST agent (robots.py:88)
+    agent = policy.agents()[0].lower()
     rel = robots_rules.where(
         (F.col("user_agent") == "*")
         | (F.lower(F.col("user_agent")) == F.lit(agent))

@@ -386,15 +386,33 @@ def split_new_urls(
     params: SeenParams,
     job_id: str,
 ) -> DataFrame:
-    """The full J4 path: filter prefilter + exact anti-join rescue.
+    """The full J4 path: filter prefilter + exact rescue.
 
     Returns the candidates that are genuinely new (exact semantics).
     ``exact_seen``: (url_hash) table of all URLs ever enqueued.
+
+    r5 shape (Arrow-bytes bound): the probe cogroup ships ONLY
+    ``url_hash`` through the Python workers — never the full candidate
+    rows (url/host/cost rode through at ~8× the bytes before), and the
+    plan is single-pass: the old definitely-new ∪ rescued union
+    referenced the probe subtree twice, so the cogroup kernel (and the
+    whole extract lineage below the exchange) EXECUTED twice per
+    batch.  Now:
+
+      maybe      = probe(url_hash only)  — hits: FP ∪ true dups
+      truly_seen = maybe ⋉ exact_seen    — exact members only
+      new        = candidates ▷ truly_seen (anti)
+
+    Exactness: the bloom has no false negatives, so maybe ⊇
+    (candidates ∩ seen); truly_seen = candidates ∩ seen exactly; the
+    anti-join removes exactly those.  ``truly_seen`` is batch-bounded
+    (≤ |candidates|), so the final anti-join never shuffles more than
+    the batch; only the semi-join scans the (growing) exact table —
+    the unavoidable exact-membership check, at 16 B/row.
     """
-    probed = probe_seen(candidates, segments, params, job_id)
-    definitely_new = probed.where(~F.col("maybe_seen"))
-    rescued = (
-        probed.where(F.col("maybe_seen"))
-        .join(exact_seen.select("url_hash"), "url_hash", "left_anti")
+    probed = probe_seen(
+        candidates.select("url_hash"), segments, params, job_id
     )
-    return definitely_new.unionByName(rescued).drop("maybe_seen", "partition_id")
+    maybe = probed.where(F.col("maybe_seen")).select("url_hash")
+    truly_seen = maybe.join(exact_seen.select("url_hash"), "url_hash", "semi")
+    return candidates.join(truly_seen, "url_hash", "left_anti")

@@ -65,7 +65,7 @@ def _robots_allowed(rules, policy: Policy, host: str, url: str) -> bool:
         return True
     m = re.match(r"^https?://[^/]+(/.*)$", url)
     path = m.group(1) if (m and m.group(1)) else "/"
-    agent = policy.user_agent.lower()
+    agent = policy.agents()[0].lower()
     host_rules = [r for r in rules if r[0] == host]
     # group selection: a specific-UA group REPLACES '*' (robots.py)
     group = [r for r in host_rules if r[1].lower() == agent]
@@ -232,6 +232,8 @@ def simulate_crawl(
                 "completed_at": completion,
                 "authenticated": r["authenticated"],
                 "session_token": r["session_token"],
+                # per-request agent rotation mirror (policy.agent_for)
+                "user_agent": policy.agent_for(u),
             })
             clock_end = max(clock_end, completion)
             h = url_host(u)

@@ -225,7 +225,9 @@ def test_prefilter_decision_boundary():
     worth, target, floor = fr.prefilter_decision(fr.SMALL_BUDGET_ROWS)
     assert worth
     assert target == int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS)
-    assert floor == fr.PREFILTER_RATIO * target == 32 * fr.SMALL_BUDGET_ROWS
+    assert floor == fr.PREFILTER_RATIO * target \
+        == fr.PREFILTER_RATIO * int(fr.PREFILTER_SLACK) \
+        * fr.SMALL_BUDGET_ROWS
     # the documented identity that lets one constant express both
     # decisions: slack × small-budget == historical MIN_ROWS floor
     assert int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS) \

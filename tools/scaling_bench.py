@@ -62,12 +62,12 @@ def run_level(cpus: int, n_hosts: int, pages: int, budget: int, k: int,
     physical cores via taskset — otherwise the JVM's GC/IO threads give
     the small-N level free extra cores and understate scaling."""
     # clean any leaked tmpfs state (a SIGKILLed child skips its
-    # finally) — stale /dev/shm dirs measurably depress later runs
-    import glob
-    import shutil
+    # finally) — stale /dev/shm dirs measurably depress later runs.
+    # hygiene_check only deletes when no competing bench is alive, so
+    # this can never yank state from under a concurrent run.
+    from bench import hygiene_check
 
-    for leak in glob.glob("/dev/shm/crawlbench_*"):
-        shutil.rmtree(leak, ignore_errors=True)
+    hygiene_check(warn_load=False)
     code = CHILD.format(repo=REPO, n_hosts=n_hosts, pages=pages,
                         budget=budget, k=k, ramp=ramp, batches=batches)
     env = dict(os.environ,
