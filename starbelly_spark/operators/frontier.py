@@ -99,8 +99,18 @@ def pop_batch(
 # identical; if they don't (pathological skew ate the cheap rows), we
 # fall back to the full window.  Either path is a pure function of
 # table state.
-PREFILTER_SLACK = 4.0
-PREFILTER_MIN_ROWS = 200_000
+# r5: 4.0 → 1.5.  The slack exists only so the host cap can eat into
+# the kept set without dropping survivors below the budget (the exact
+# fallback re-runs the full window when it does).  At 4× every window
+# sort processed 4×budget rows; 1.5× is ample at any realistic
+# host-cardinality (the cap binds only when a single host holds >k of
+# the cheapest rows, and the histogram cut already keeps ≥ target at
+# the bucket edge) and cuts BOTH pop sorts ~2.7×.  Pathological skew
+# still falls back to the identical full window — pure cost knob.
+PREFILTER_SLACK = 1.5
+# = PREFILTER_SLACK × SMALL_BUDGET_ROWS (the documented identity that
+# makes the engage boundary coincide with the small/large budget split)
+PREFILTER_MIN_ROWS = 75_000
 # Engage when the pending frontier exceeds ratio × target.  r5: the
 # probe is now ONE aggregation job on the cached frontier (histogram
 # replaces the r2-era count + approxQuantile pair that cost ~10s/batch
@@ -192,9 +202,28 @@ def _pop_ranked(df: DataFrame, budget: int, per_host_k: int,
                 narrowed = df.where(F.col("cost") <= cut)
                 survivors = _host_capped(narrowed, per_host_k).persist()
                 _PENDING_UNPERSIST.append(survivors)
-                if survivors.count() >= budget:
-                    return _budget_cut(survivors, budget, with_rank,
-                                       input_cached=True)
+                if budget < SMALL_BUDGET_ROWS:
+                    if survivors.count() >= budget:
+                        return _budget_cut(survivors, budget, with_rank,
+                                           input_cached=True)
+                else:
+                    # r5: on the distributed-rank path the rank's own
+                    # per-partition count collect IS the exactness
+                    # check — the former survivors.count() pre-pass
+                    # (one more full scan + driver round trip on every
+                    # pop's serial path) is folded away.  total <
+                    # budget (skew pathology) wastes the rank and
+                    # falls back exactly, same as before.
+                    ranked, total = global_rank(
+                        survivors, ["cost", "_tb"], POP_RANK
+                    )
+                    if total >= budget:
+                        out = ranked if total == budget else ranked.where(
+                            F.col(POP_RANK) <= budget
+                        )
+                        if not with_rank:
+                            out = out.drop(POP_RANK)
+                        return out.drop("_tb", "_host_rn")
                 # skew pathology: cheap rows were host-capped away —
                 # exact fallback to the unfiltered window
     return _budget_cut(_host_capped(df, per_host_k), budget, with_rank)

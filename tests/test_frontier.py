@@ -226,8 +226,8 @@ def test_prefilter_decision_boundary():
     assert worth
     assert target == int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS)
     assert floor == fr.PREFILTER_RATIO * target \
-        == fr.PREFILTER_RATIO * int(fr.PREFILTER_SLACK) \
-        * fr.SMALL_BUDGET_ROWS
+        == fr.PREFILTER_RATIO \
+        * int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS)
     # the documented identity that lets one constant express both
     # decisions: slack × small-budget == historical MIN_ROWS floor
     assert int(fr.PREFILTER_SLACK * fr.SMALL_BUDGET_ROWS) \
