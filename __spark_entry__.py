@@ -53,7 +53,10 @@ def q_w1_priority_pop(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
     return (
-        events.withColumn("rn", F.row_number().over(w))
+        # project before the window exchange: only the three needed
+        # columns cross the shuffle (guide §2.3)
+        events.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("user_id", "event_id",
                 F.round("value", 6).alias("value"), "rn")
@@ -359,10 +362,21 @@ def q_tpch_q3_shipping(spark, sf_dir):
     customer, orders, lineitem = _load(
         spark, sf_dir, "customer", "orders", "lineitem"
     )
-    return (
+    # r6: same inner-join tree, but built so the SMALL side is the
+    # broadcast build side.  The planner's size estimate previously
+    # picked lineitem (the fact table) as the broadcast relation for
+    # the second join — a multi-million-row driver collect + hash
+    # relation per query (guide §3.1: "estimates are often badly wrong
+    # ... use an explicit broadcast()").  customer⋈orders projected to
+    # o_orderkey is the provably small side; lineitem is only probed.
+    co = (
         customer.where(F.col("c_mktsegment") == "BUILDING")
         .join(orders, customer.c_custkey == orders.o_custkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_orderkey")
+    )
+    return (
+        lineitem.join(F.broadcast(co),
+                      lineitem.l_orderkey == co.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -398,9 +412,12 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_text_lang_id(spark, sf_dir):
     from starbelly_spark.functions.text import lang_id_expr
+    from starbelly_spark.spread import spread
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return documents.select(
+    # the stopword regex scans are per-row heavy and the documents file
+    # is a single unsplittable row group — spread so they parallelize
+    return spread(documents.select("doc_id", "text")).select(
         "doc_id", lang_id_expr(F.col("text")).alias("lang_guess")
     )
 

@@ -204,6 +204,10 @@ def resource_history(
     rates, newest first."""
     store = JobStore(spark, root, job_id)
     m = store.latest_manifest()
+    if m is None:
+        # deleted or never-started job — same guard as _results
+        # (ADVICE r5 #5: delete_job made this reachable)
+        raise ValueError(f"no job exists with id {job_id}")
     metrics = store.table(m, "metrics")
     span = F.greatest(
         F.col("clock_end") - F.col("clock_start"), F.lit(1e-9)

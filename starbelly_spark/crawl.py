@@ -90,6 +90,7 @@ from .tableio import (
     FRONTIER_SCHEMA,
     SEEN_EXACT_SCHEMA,
     SEEN_MAX_DIRS,
+    ConcurrentCommitError,
     JobStore,
     new_manifest,
     plan_seen_compaction,
@@ -948,12 +949,6 @@ def run_batch(store: JobStore, m: dict) -> dict:
             carry_hosts.unpersist()
         raise
     nm["politeness_log_rows"] = int(pol_rows) + int(pol_rows_written)
-    if carry_hosts is not None:
-        store._carry = {
-            "batch_id": batch_id + 1,
-            "hosts": carry_hosts,
-            "min_next": carry_t,
-        }
     _mark("8 state writes")
 
     t = nm["tables"]
@@ -1001,8 +996,12 @@ def run_batch(store: JobStore, m: dict) -> dict:
     # becomes visible only via this manifest's atomic commit.
     seen_rels = t["seen_exact"]
     if len(seen_rels) > SEEN_MAX_DIRS:
+        # size by ROW COUNT (parquet footers), not dir bytes: the list
+        # mixes 16 B/row hash-only levels with full-row frontier_add
+        # alias dirs, and byte sizing made merged levels look small
+        # relative to fresh appends (ADVICE r5 #4)
         merge, keep = plan_seen_compaction(
-            [(rel, store.dir_bytes(rel)) for rel in seen_rels]
+            [(rel, store.dir_rows(rel)) for rel in seen_rels]
         )
         if merge:
             merged_hashes = store.read_dirs(
@@ -1028,7 +1027,28 @@ def run_batch(store: JobStore, m: dict) -> dict:
         )
     _marks["total"] = round(time.perf_counter() - _t_batch0, 3)
     nm["profile"] = _marks
-    store.commit(nm)
+    # The carry is installed only AFTER a successful commit (ADVICE r5
+    # #1): it is derived from THIS batch's post-pop frontier, so if the
+    # commit loses a race (ConcurrentCommitError) the recomputed batch
+    # under the re-read manifest would get batch_id+1 — matching a
+    # stale carry's key — and pop against never-committed state.  On
+    # any commit failure the checkpointed hosts DF is freed instead.
+    try:
+        store.commit(nm)
+    except Exception:
+        if carry_hosts is not None:
+            carry_hosts.unpersist()
+        _clear_carry(store)
+        for df in (frontier, hosts, popped, fetched, results_out, new_urls):
+            df.unpersist()
+        drain_pending_unpersist()
+        raise
+    if carry_hosts is not None:
+        store._carry = {
+            "batch_id": batch_id + 1,
+            "hosts": carry_hosts,
+            "min_next": carry_t,
+        }
 
     for df in (frontier, hosts, popped, fetched, results_out, new_urls):
         df.unpersist()
@@ -1049,11 +1069,30 @@ def run_crawl(
     if m is None:
         raise ValueError(f"job {job_id} not started")
     batches = 0
+    cc_retries = 0
     while m["run_state"] == "running":
         if max_batches is not None and batches >= max_batches:
             break
         prev = (m["counters"]["item_count"], m["clock"])
-        m = run_batch(store, m)
+        try:
+            m = run_batch(store, m)
+        except ConcurrentCommitError:
+            # a live admin commit (set_rate_limit / pause) landed while
+            # this batch ran — the reference applies such changefeed
+            # updates live (db.py:1117).  Re-read LATEST and recompute
+            # the batch under the merged config (the carry is only
+            # installed after successful commits, so the recompute is
+            # safe).  Repeated losses mean a second DRIVER is racing
+            # this loop: surface that hard.
+            cc_retries += 1
+            if cc_retries > 3:
+                raise
+            latest = store.latest_manifest()
+            if latest is None:
+                raise
+            m = latest
+            continue
+        cc_retries = 0
         batches += 1
         if (m["counters"]["item_count"], m["clock"]) == prev and \
                 m["run_state"] == "running":

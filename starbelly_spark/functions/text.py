@@ -171,7 +171,9 @@ def winnow_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     Near-identical docs share almost all fingerprints, so recall at
     jaccard ≈ 0.9 is unaffected (pinned by the recall-gated driver
     entry and its new cand_ok precision gate)."""
-    fps = docs.select(
+    from ..spread import spread
+
+    fps = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("_fp"),
     ).distinct()

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..spread import spread
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -40,19 +42,31 @@ def normalized_text_expr(text_col):
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per exact (normalized) content."""
-    keyed = df.withColumn("_k", F.md5(normalized_text_expr(F.col(text_col))))
-    w_min = (
-        keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    """Keep the min-id representative per exact (normalized) content.
+
+    One map-side-combining hash aggregate: ``min_by`` over the full
+    row keyed by the content hash (r6 — replaces the former
+    groupBy + semi-join pair, which shuffled the input twice and
+    scanned it twice; guide §2.3 "aggregate before you shuffle" /
+    §2.4).  Each map task pre-collapses its duplicates, so the
+    exchange carries at most one row per (hash, task)."""
+    cols = df.columns
+    keyed = spread(df).withColumn(
+        "_k", F.md5(normalized_text_expr(F.col(text_col)))
     )
-    return keyed.join(w_min, ["_k", id_col], "semi").drop("_k")
+    return (
+        keyed.groupBy("_k")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_dups, keep_id) for groups with >1 member."""
     return (
-        df.withColumn("_k", F.md5(normalized_text_expr(F.col(text_col))))
+        spread(df)
+        .withColumn("_k", F.md5(normalized_text_expr(F.col(text_col))))
         .groupBy(F.col("_k").alias("fingerprint"))
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_dups") > 1)
@@ -203,7 +217,19 @@ def minhash_near_dups(
     """
     rows = k // bands
     mh = make_minhash_udf(k, shingle_n, seed)
-    sigs = docs.select(id_col, text_col).withColumn("minhash", mh(F.col(text_col)))
+    # spread: the signature UDF must not run fused into an unsplittable
+    # single-task scan (guide §4).  persist: the LSH self-join otherwise
+    # plans the signature subtree on BOTH sides — Catalyst does not
+    # share subtrees across a self-join — so the pandas UDF would run
+    # twice over the corpus (guide §1.2: don't compute things twice).
+    # The cached rows are (id, 64 longs) ≈ 0.5 KB/doc; the block is
+    # freed by the ContextCleaner when the query's plan is released.
+    sigs = (
+        spread(docs.select(id_col, text_col))
+        .withColumn("minhash", mh(F.col(text_col)))
+        .drop(text_col)
+        .persist()
+    )
     cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows)
     ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
@@ -267,7 +293,7 @@ def exact_jaccard_pairs(
     pairs' jaccard is exact or slightly underestimated, never
     inflated.  Default None (off): the oracle-checked ground-truth
     entries run uncapped."""
-    sh = docs.select(
+    sh = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         shingle_array_expr(F.col(text_col), shingle_n).alias("_sh"),
     ).select("_id", "_sh", F.size("_sh").alias("_n"))
@@ -405,11 +431,23 @@ def simhash_near_dups(
     intersect multi-chunk keys."""
     n_chunks = max_hamming + 1
     bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+
+    def _chunk_val(col, i):
+        return F.shiftrightunsigned(col, bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+
     sh = make_simhash_udf(shingle_n)
+    # spread + persist: same reasoning as minhash_near_dups — the
+    # signature UDF must parallelize past an unsplittable scan, and the
+    # self-join must not re-evaluate it per side (it showed up FOUR
+    # times in the r5 physical plan: two stacked ArrowEvalPython nodes
+    # on each side of the join).  Cached rows are (id, int64).
     sigs = (
-        docs.select(id_col, text_col)
+        spread(docs.select(id_col, text_col))
         .withColumn("simhash", sh(F.col(text_col)))
         .drop(text_col)
+        .persist()
     )
     chunks = sigs.select(
         id_col, "simhash",
@@ -417,15 +455,25 @@ def simhash_near_dups(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), bounds[i])
-                    .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-                    .alias("val"),
+                    _chunk_val(F.col("simhash"), i).alias("val"),
                 )
                 for i in range(n_chunks)
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
     l, r = chunks.alias("l"), chunks.alias("r")
+    # A pair sharing m chunks surfaces m times (once per agreeing
+    # bucket).  Keeping only the row whose chunk is the pair's FIRST
+    # agreeing chunk dedups exactly — computable per joined row from
+    # the two signatures alone, so the former distinct() exchange over
+    # the full candidate stream (tens of millions of rows at 50k docs
+    # with wide buckets) disappears outright (guide §2.4).  Pigeonhole
+    # guarantees every hamming ≤ t pair has an agreeing chunk, so the
+    # kept set is identical.
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    first_agree = F.lit(None).cast("int")
+    for i in range(n_chunks - 1, -1, -1):
+        first_agree = F.when(_chunk_val(xor, i) == 0, i).otherwise(first_agree)
     return (
         l.join(
             r,
@@ -433,13 +481,16 @@ def simhash_near_dups(
             & (F.col("l.val") == F.col("r.val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .where(
+            (hamming64_expr(F.col("l.simhash"), F.col("r.simhash"))
+             <= max_hamming)
+            & (F.col("l.chunk") == first_agree)
+        )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             hamming64_expr(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -62,7 +62,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """Run two throwaway ~100ms jobs once per session: a codegen'd
+    aggregate over an exchange, and a pandas-UDF action sized to the
+    default parallelism so every reusable Python worker is forked and
+    the Arrow serialization path is JIT'd.  In local mode all of that
+    executor machinery is lazily initialized by the FIRST job — without
+    this, whichever query a caller happens to run first silently pays
+    ~2-3 s of one-time JVM/Python startup inside its own wall time.
+    No data is read and nothing is cached; set
+    ``SPARK_GRAFT_NO_WARMUP=1`` to skip (micro-tests)."""
+    if getattr(spark, "_starbelly_warmed", False) or os.environ.get(
+        "SPARK_GRAFT_NO_WARMUP"
+    ):
+        return
+    spark._starbelly_warmed = True
+    from pyspark.sql import functions as F
+
+    n = max(2, spark.sparkContext.defaultParallelism)
+    rng = spark.range(0, n * 100, 1, n)
+    rng.groupBy((F.col("id") % n).alias("k")).count().count()
+
+    _wu = F.pandas_udf(lambda s: s, "long")
+    # sum (not count) so the optimizer cannot prune the UDF column
+    rng.select(_wu("id").alias("v")).agg(F.sum("v")).collect()
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -124,7 +124,32 @@ class JobStore:
             )
         manifest["committed_at"] = time.time()
         mpath = self._manifest_path(bid)
-        self._atomic_write(mpath, json.dumps(manifest, indent=1))
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+        # Atomic claim of the batch id (ADVICE r5): os.link fails with
+        # EEXIST if manifest_{bid} already exists, so two interleaved
+        # writers that both passed the guard above cannot both win —
+        # the loser raises instead of silently clobbering.  An existing
+        # file while LATEST < bid is the orphan of a commit that
+        # crashed between its two writes (LATEST never advanced): take
+        # it over with os.replace, exactly as pre-r6 crash-invisibility
+        # did.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            latest = self.latest_manifest()
+            if latest is not None and latest["batch_id"] >= bid:
+                os.unlink(tmp)
+                raise ConcurrentCommitError(
+                    f"job {self.job_id}: batch {bid} lost the commit race "
+                    f"— manifest_{bid} was claimed by a concurrent writer; "
+                    "re-read LATEST and retry"
+                )
+            os.replace(tmp, mpath)
+        else:
+            os.unlink(tmp)
         self._atomic_write(self._latest_path(), os.path.basename(mpath))
 
     # -- data files ---------------------------------------------------------
@@ -180,6 +205,28 @@ class JobStore:
                 if fn.endswith(".parquet"):
                     try:
                         total += os.path.getsize(os.path.join(walk_root, fn))
+                    except OSError:
+                        pass
+        return total
+
+    def dir_rows(self, rel: str) -> int:
+        """Row count of one table dir from parquet footer metadata
+        (driver-side, no Spark job).  The leveled-compaction planner
+        sizes dirs with THIS, not bytes: seen_exact mixes url_hash-only
+        merged levels (~16 B/row) with frontier_add alias dirs whose
+        files carry the full frontier row — byte sizes compare those in
+        inconsistent units and erode level immunity (ADVICE r5),
+        while rows mean the same thing in every dir."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for walk_root, _dirs, files in os.walk(os.path.join(self.dir, rel)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    try:
+                        total += pq.ParquetFile(
+                            os.path.join(walk_root, fn)
+                        ).metadata.num_rows
                     except OSError:
                         pass
         return total
