@@ -194,13 +194,25 @@ def q_p7_cost_gate(spark, sf_dir):
 def q_j1_ordered_left_join(spark, sf_dir):
     """J1: order-preserving left join response⋈body (db.py:979-1002)."""
     customer, orders = _load(spark, sf_dir, "customer", "orders")
+    # r6: distributed sort moved BELOW the broadcast join.  A final
+    # orderBy range-partitions by sampling its child, which executes
+    # the whole join subtree twice (once for sampling, once for real);
+    # range-partitioning the narrow fact side FIRST samples only the
+    # scan, and the per-row broadcast-hash left join (customer is
+    # unique on c_custkey) preserves both row order within partitions
+    # and the partitions' range order, so the trailing local sort
+    # yields the identical global (o_orderkey) order.  Partition count
+    # comes from spark.sql.shuffle.partitions (scale-adaptive).
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange("o_orderkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              orders.o_custkey == customer.c_custkey, "left")
         .select(
             "o_orderkey", "o_custkey", "c_name",
             F.round("o_totalprice", 6).alias("o_totalprice"),
         )
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 

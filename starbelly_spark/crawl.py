@@ -642,10 +642,17 @@ def run_batch(store: JobStore, m: dict) -> dict:
     ).cache()
 
     # ---- EXTRACT / DEDUP ---------------------------------------------------
+    # asNondeterministic: the `host != ""` filter below references a
+    # column COMPUTED BY this UDF; the optimizer pushes that filter
+    # beneath the projection and re-plans the UDF on both sides, so
+    # every link paid canonicalize+blake2b TWICE (two ArrowEvalPython
+    # nodes, measured in the r6 plan audit; optimization guide §4.4).
+    # The function is pure — the marking only forbids the optimizer
+    # from duplicating/reordering it, which halves the links stage.
     canon_info = make_canon_info_udf(
         policy.normalization.strip_parameters
         if policy.normalization.enabled else ()
-    )
+    ).asNondeterministic()
     seed_domains = m.get("seed_domains", [])
     # one Python pass over the exploded links: canonicalize + host +
     # blake2b together (millions of rows/batch at scale); the hex

@@ -128,6 +128,55 @@ def test_concurrent_commit_raises_instead_of_clobbering(spark, tmp_path):
         store.commit(new_manifest("jcc", m["batch_id"], m))
 
 
+def test_commit_takes_over_crashed_orphan_manifest(spark, tmp_path):
+    """r6 atomic-claim commit: a manifest file WITHOUT a LATEST flip is
+    the orphan of a crash between commit's two writes — a new commit of
+    the same batch id must take it over (crash-invisibility), while a
+    manifest that LATEST does point at stays protected (previous
+    test)."""
+    import json as _json
+
+    root = str(tmp_path)
+    store = start_job(spark, root, "jorph", WEB.seeds(1), POLICY, WEB,
+                      SETTINGS)
+    m = store.latest_manifest()
+    orphan = new_manifest("jorph", m["batch_id"] + 1, m)
+    orphan["marker"] = "orphan"
+    with open(store._manifest_path(orphan["batch_id"]), "w") as f:
+        f.write(_json.dumps(orphan))
+    winner = new_manifest("jorph", m["batch_id"] + 1, m)
+    winner["marker"] = "winner"
+    store.commit(winner)
+    latest = store.latest_manifest()
+    assert latest["batch_id"] == m["batch_id"] + 1
+    assert latest["marker"] == "winner"
+
+
+def test_run_crawl_retries_lost_commit_race(spark, tmp_path, monkeypatch):
+    """r6 (ADVICE r5 #2): a ConcurrentCommitError from a live admin
+    commit must not kill the crawl loop — run_crawl re-reads LATEST and
+    recomputes the batch."""
+    import starbelly_spark.tableio as tio
+
+    root = str(tmp_path)
+    start_job(spark, root, "jrr", WEB.seeds(2), POLICY, WEB, SETTINGS)
+    real = tio.JobStore.commit
+    state = {"injected": False}
+
+    def flaky(self, manifest):
+        if not state["injected"] and manifest["batch_id"] == 2:
+            state["injected"] = True
+            raise ConcurrentCommitError("injected race")
+        return real(self, manifest)
+
+    monkeypatch.setattr(tio.JobStore, "commit", flaky)
+    m = run_crawl(spark, root, "jrr", max_batches=2)
+    assert state["injected"]
+    assert m["counters"]["item_count"] > 0
+    # the retried batch committed; no stale carry poisoned the pop
+    assert m["batch_id"] >= 2
+
+
 # ------------------------------------------------- performance_profile
 
 def test_performance_profile_stages_and_cprofile(spark, tmp_path):

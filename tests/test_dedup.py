@@ -47,6 +47,33 @@ def test_exact_dup_groups(docs):
     assert groups[0].n_dups == 3 and groups[0].keep_id == 1
 
 
+def test_simhash_candidate_dedup_is_exact(docs):
+    """r6 internals change: the first-agreeing-chunk filter replaced
+    the distinct() exchange.  Identical texts (1,2,5-normalized) agree
+    in EVERY chunk — each qualifying pair must still appear exactly
+    once, and the full output must equal a brute-force hamming check
+    over the signatures."""
+    out = simhash_near_dups(docs, max_hamming=6, shingle_n=2).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate rows"
+    sh = make_simhash_udf(2)
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", sh("text").alias("s")).collect()
+    }
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & mask).count("1")
+
+    expect = {
+        (a, b, ham(a, b))
+        for a in sigs for b in sigs
+        if a < b and ham(a, b) <= 6
+    }
+    assert {(r.id_a, r.id_b, r.hamming) for r in out} == expect
+
+
 def test_minhash_finds_near_dups(docs):
     pairs = {(r.id_a, r.id_b) for r in
              minhash_near_dups(docs, threshold=0.5).collect()}
