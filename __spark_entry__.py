@@ -109,7 +109,9 @@ def q_j2_latest_per_group(spark, sf_dir):
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        # project before the window exchange (guide §2.3)
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
             F.col("o_custkey").alias("custkey"),
