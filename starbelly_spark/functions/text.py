@@ -173,10 +173,15 @@ def winnow_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
     entry and its new cand_ok precision gate)."""
     from ..spread import spread
 
+    # persist: the fingerprint table feeds the size aggregate AND both
+    # sides of the candidate self-join — without the persist the winnow
+    # pandas UDF + explode + distinct pipeline executed three times
+    # (Catalyst does not share subtrees; r6 audit, same fix as the
+    # minhash/simhash signature tables).  Cached rows are (id, int64).
     fps = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(make_winnow_udf(k, window)(F.col(text_col))).alias("_fp"),
-    ).distinct()
+    ).distinct().persist()
     sizes = fps.groupBy("_id").agg(F.count("*").alias("_n"))
     fps = fps.join(sizes, "_id")
     left = fps.select(F.col("_id").alias("id_a"),

@@ -114,7 +114,12 @@ def lsh_topk(
     probe = {qb}
     if multiprobe_bits >= 1:
         probe |= {qb ^ (1 << i) for i in range(n_planes)}
-    bucket = make_hyperplane_bucket_udf(n_planes, seed)
+    # asNondeterministic: the probe filter references the UDF's output
+    # column, so the optimizer otherwise pushes the filter below the
+    # projection and evaluates the bucket UDF twice over the full table
+    # (guide §4.4).  The function is pure; the marking only stops the
+    # optimizer duplicating it.
+    bucket = make_hyperplane_bucket_udf(n_planes, seed).asNondeterministic()
     bucketed = emb.withColumn("bucket", bucket(F.col(vec_col)))
     cand = bucketed.where(F.col("bucket").isin(*sorted(probe)))
     return cosine_topk(cand, query, k, id_col, vec_col)
@@ -217,7 +222,9 @@ def ivf_topk(
     q = np.asarray(query, dtype=np.float32)
     q = q / (np.linalg.norm(q) + 1e-9)
     order = np.argsort(-(centroids @ q))[:n_probe]
-    assign = make_ivf_assign_udf(centroids)
+    # asNondeterministic: same §4.4 duplication as lsh_topk — the cell
+    # filter otherwise re-evaluates the assign UDF below itself
+    assign = make_ivf_assign_udf(centroids).asNondeterministic()
     cand = emb.withColumn("cell", assign(F.col(vec_col))).where(
         F.col("cell").isin(*[int(c) for c in order])
     )
