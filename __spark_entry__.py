@@ -476,31 +476,49 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_dedup_embedding_cosine_exact(spark, sf_dir):
     """All-pairs cosine ≥ τ (exact; the oracle-checked baseline for the
-    LSH variant below)."""
-    from starbelly_spark.operators.dedup import cosine_expr
+    LSH variant below).
+
+    r6: same values, ~6× less per-pair arithmetic.  (a) The vector
+    norms are per-VECTOR quantities, so they are computed once per row
+    BELOW the pair join instead of twice per pair inside cosine_expr —
+    the identical sqrt(aggregate(v²)) fold over the identical cast
+    array, just relocated, so every double is bit-identical.  (b) The
+    projected (id_a, id_b, cosine) pairs are persisted before the
+    threshold filter: the filter otherwise pushes below the projection
+    and re-evaluates the whole cosine expression per pair (the JVM
+    flavor of optimization-guide §4.4 duplication)."""
+    from starbelly_spark.spread import spread
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
-    l = embeddings.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
-    )
+
+    def _norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    # spread the STREAMED side: the broadcast nested-loop join streams
+    # the left scan, and the embeddings table is one unsplittable row
+    # group — without the spread the entire all-pairs cosine pass ran
+    # on ONE task (guide §2.5 input skew)
+    l = spread(embeddings.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("_va"),
+    )).withColumn("_na", _norm(F.col("_va")))
     r = embeddings.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("_vb"),
+    ).withColumn("_nb", _norm(F.col("_vb")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
     )
-    return (
+    pairs = (
         l.join(r, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                cosine_expr(
-                    F.col("_va").cast("array<double>"),
-                    F.col("_vb").cast("array<double>"),
-                ),
-                6,
-            ),
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", "cosine")
+        .persist()
     )
+    return pairs.where(F.col("cosine") >= 0.4)
 
 
 def q_dedup_embedding_cosine_lsh(spark, sf_dir):
@@ -565,13 +583,19 @@ def q_ann_ivf_topk(spark, sf_dir):
         train_centroids,
     )
 
+    from starbelly_spark.spread import spread
+
     (embeddings,) = _load(spark, sf_dir, "embeddings")
     offsets = cluster_offsets(64, IVF_CLUSTERS, IVF_SEED)
-    clustered = embeddings.withColumn(
+    # spread + persist: the clustered projection (a 64-dim zip_with per
+    # row) feeds THREE consumers (exact top-k, centroid training, the
+    # IVF probe) and the embeddings scan is one unsplittable row group
+    # — without this it was recomputed per consumer on one task
+    clustered = spread(embeddings).withColumn(
         "clustered",
         clustered_embedding_col(F.col("embedding"), F.col("vec_id"),
                                 offsets, IVF_SCALE),
-    )
+    ).persist()
     q = [float(x) for x in offsets[5]]      # a query near cluster 5
     exact = cosine_topk(clustered, q, k=10, vec_col="clustered")
     cents = train_centroids(clustered, n_centroids=IVF_CLUSTERS,

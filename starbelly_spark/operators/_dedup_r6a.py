@@ -160,14 +160,7 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     left = exploded.alias("l")
-    # SHUFFLE_HASH: the planner otherwise broadcasts the full exploded
-    # band table (corpus × bands rows — its pruned estimate sits under
-    # the threshold locally, and a broadcast CANNOT scale with the
-    # corpus).  A shuffled hash join on (band, bucket) is the right
-    # strategy at every scale, measured faster locally too (guide
-    # §3.1 "pick the strategy deliberately"), and both sides share one
-    # exchange via reuse since the subtrees are identical.
-    right = exploded.alias("r").hint("shuffle_hash")
+    right = exploded.alias("r")
     return (
         left.join(
             right,
@@ -240,19 +233,7 @@ def minhash_near_dups(
     cands = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows)
     ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
-    # asNondeterministic: the threshold filter references the UDF's
-    # output column, so the optimizer otherwise pushes the filter below
-    # the projection and evaluates the Jaccard UDF TWICE per candidate
-    # pair (two ArrowEvalPython nodes in the r6 plan audit — guide
-    # §4.4).  The function is pure; the marking only stops duplication.
-    jac = make_jaccard_udf(shingle_n).asNondeterministic()
-    # (Join shape audited r6: the planner broadcasts the pruned
-    # (id, text) scans here because their estimate sits under the
-    # threshold; restructuring to broadcast the candidate side instead
-    # was measured SLOWER locally — the two corpus scans overlap as
-    # concurrent broadcast-build jobs in this shape, and at real scale
-    # the estimates exceed the threshold so the planner reverts to a
-    # shuffle join on its own.  Left as-is deliberately.)
+    jac = make_jaccard_udf(shingle_n)
     return (
         cands.join(ta, "id_a").join(tb, "id_b")
         .withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
@@ -316,13 +297,7 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("_id"),
         shingle_array_expr(F.col(text_col), shingle_n).alias("_sh"),
     ).select("_id", "_sh", F.size("_sh").alias("_n"))
-    # persist the exploded shingle table: it feeds BOTH sides of the
-    # pair join (and the hot-shingle agg when capped) — Catalyst does
-    # not share subtrees across a self-join, so without the persist the
-    # shingle explode ran once per side (r6 audit; same fix as the
-    # minhash/simhash signature tables).  Bounded context: this is the
-    # small-scale oracle baseline by design (see docstring).
-    expl = sh.select("_id", "_n", F.explode("_sh").alias("_s")).persist()
+    expl = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
     if max_shingle_df is not None:
         # document frequency per shingle (map-side combine); the HOT
         # set (df > cap) is tiny by construction — at cap c over N
@@ -387,30 +362,19 @@ def recall_gated_pairs(
     ``|found| ≤ ratio × max(|exact|, 1)``; a precision collapse flips
     it via the same hash mechanism.
     """
-    # persist both inputs: the gate references ``exact_pairs`` three
-    # times (count, semi-join, output) and ``found_pairs`` up to twice
-    # (semi-join, distinct count) — without the persist each reference
-    # re-executes the ENTIRE upstream pipeline (the exact-Jaccard
-    # explode/self-join and the full approximate operator), so e.g. the
-    # gated simhash query ran simhash twice and exact-Jaccard three
-    # times (r6 audit; guide §1.2 "don't compute things twice").
-    # Values are unchanged — persist is a pure execution-plan property.
-    exact_pairs = exact_pairs.persist()
-    found_sel = found_pairs.select("id_a", "id_b").persist()
     n_exact = exact_pairs.count()
     if n_exact == 0:
         ok = True
     else:
         n_hit = exact_pairs.join(
-            found_sel, ["id_a", "id_b"], "semi"
+            found_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
         ).count()
         ok = (n_hit / n_exact) >= min_recall
     out = exact_pairs.withColumn(gate_col, F.lit(bool(ok)))
     if max_candidate_ratio is not None:
-        n_found = found_sel.distinct().count()
+        n_found = found_pairs.select("id_a", "id_b").distinct().count()
         cand_ok = n_found <= max_candidate_ratio * max(n_exact, 1)
         out = out.withColumn(cand_col, F.lit(bool(cand_ok)))
-    found_sel.unpersist()
     return out
 
 
@@ -497,9 +461,7 @@ def simhash_near_dups(
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.val")
-    # SHUFFLE_HASH: same reasoning as minhash_lsh_candidates — never
-    # broadcast a relation that scales with the corpus
-    l, r = chunks.alias("l"), chunks.alias("r").hint("shuffle_hash")
+    l, r = chunks.alias("l"), chunks.alias("r")
     # A pair sharing m chunks surfaces m times (once per agreeing
     # bucket).  Keeping only the row whose chunk is the pair's FIRST
     # agreeing chunk dedups exactly — computable per joined row from
@@ -563,13 +525,7 @@ def embedding_near_dups(
     from .similarity import make_hyperplane_bucket_udf
 
     bucket = make_hyperplane_bucket_udf(n_planes, seed)
-    # persist: the self-join below otherwise plans the bucket pandas
-    # UDF on BOTH sides (Catalyst does not share subtrees across a
-    # self-join), hashing the full embedding table twice (r6 audit;
-    # same fix as the minhash/simhash signature tables)
-    b = emb.select(id_col, vec_col).withColumn(
-        "bucket", bucket(F.col(vec_col))
-    ).persist()
+    b = emb.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
