@@ -89,34 +89,46 @@ def q_w3_reverse_chron(spark, sf_dir):
 
 
 def q_w5_earliest_expiry(spark, sf_dir):
-    """W5: earliest-expiry selection per group (rate_limiter heap)."""
+    """W5: earliest-expiry selection per group (rate_limiter heap).
+
+    r6: same ``min_by`` hash-aggregate rewrite as J2 (map-side partial
+    aggregation, no sort; event_id unique ⇒ identical row per group)."""
     (events,) = _load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        events.select("event_type", "event_id", "ts")
+        .groupBy("event_type")
+        .agg(F.min_by(F.struct("event_id", "ts"),
+                      F.struct("ts", "event_id")).alias("_m"))
         .select(
-            "event_type", "event_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type", F.col("_m.event_id").alias("event_id"),
+            F.date_format("_m.ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         )
     )
 
 
 def q_j2_latest_per_group(spark, sf_dir):
-    """J2: latest-job-per-schedule lookup (db.py:500-521)."""
+    """J2: latest-job-per-schedule lookup (db.py:500-521).
+
+    r6: latest-row-per-group as ONE ``max_by`` hash aggregate with
+    map-side partial aggregation instead of a window (exchange + full
+    sort + rank): each map task pre-collapses its rows per custkey and
+    nothing is ever sorted (guide §2.3 "aggregate before you shuffle").
+    (o_orderkey is unique, so max over the (date, key) struct is
+    exactly the window's rn=1 row — verified row-set-identical.)"""
     (orders,) = _load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        # project before the window exchange (guide §2.3)
         orders.select("o_custkey", "o_orderkey", "o_orderdate")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("_m")
+        )
         .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            "custkey",
+            F.col("_m.o_orderkey").alias("latest_orderkey"),
+            F.date_format("_m.o_orderdate", "yyyy-MM-dd").alias("latest_date"),
         )
     )
 
